@@ -1,0 +1,82 @@
+"""resize_tf1 vs an independent numpy implementation of TF1 legacy resize."""
+
+import numpy as np
+import pytest
+
+from fisr_tpu.ops.resize import downsample_int, resize_tf1, upsample2x_bilinear
+
+
+def tf1_resize_np(x, out_h, out_w, method):
+    """Straight-line numpy port of the TF1.13 legacy resize algorithm:
+    in = out * (in/out), clamped taps, bilinear or Keys bicubic (A=-0.75)."""
+
+    def kernel_weights(in_size, out_size):
+        scale = in_size / out_size
+        coords = np.arange(out_size) * scale
+        base = np.floor(coords).astype(int)
+        t = coords - base
+        if method == "bilinear":
+            offs = [0, 1]
+            ws = [1 - t, t]
+        else:
+            a = -0.75
+
+            def cub(z):
+                z = np.abs(z)
+                return np.where(
+                    z <= 1,
+                    (a + 2) * z**3 - (a + 3) * z**2 + 1,
+                    np.where(z < 2, a * z**3 - 5 * a * z**2 + 8 * a * z - 4 * a, 0.0),
+                )
+
+            offs = [-1, 0, 1, 2]
+            ws = [cub(t - o) for o in offs]
+        idxs = [np.clip(base + o, 0, in_size - 1) for o in offs]
+        return idxs, ws
+
+    h, w = x.shape[-3], x.shape[-2]
+    idxs, ws = kernel_weights(h, out_h)
+    x = sum(wk[:, None, None] * x[..., ik, :, :] for ik, wk in zip(idxs, ws))
+    idxs, ws = kernel_weights(w, out_w)
+    x = sum(wk[:, None] * x[..., :, ik, :] for ik, wk in zip(idxs, ws))
+    return x
+
+
+@pytest.mark.parametrize("method", ["bilinear", "bicubic"])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((32, 48), (16, 24)), ((32, 48), (8, 12)), ((16, 24), (32, 48)),
+     ((12, 20), (30, 44)), ((17, 13), (9, 21))],
+)
+def test_resize_matches_numpy_reference(method, in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(2, *in_hw, 3)).astype(np.float32)
+    got = np.asarray(resize_tf1(x, out_hw, method))
+    want = tf1_resize_np(x.astype(np.float64), *out_hw, method)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_integer_downscale_is_subsampling():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    for f in (2, 4):
+        for method in ("bilinear", "bicubic"):
+            got = np.asarray(resize_tf1(x, (16 // f, 16 // f), method))
+            np.testing.assert_allclose(got, x[:, ::f, ::f, :], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(downsample_int(x, 4)), x[:, ::4, ::4, :])
+
+
+def test_upsample2x_matches_general_path():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(2, 7, 9, 4)).astype(np.float32)
+    got = np.asarray(upsample2x_bilinear(x))
+    want = tf1_resize_np(x.astype(np.float64), 14, 18, "bilinear")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bilinear_x4_equals_two_x2():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(1, 6, 5, 2)).astype(np.float32)
+    two = np.asarray(upsample2x_bilinear(upsample2x_bilinear(x)))
+    direct = tf1_resize_np(x.astype(np.float64), 24, 20, "bilinear")
+    np.testing.assert_allclose(two, direct, rtol=1e-5, atol=1e-6)
