@@ -1,0 +1,162 @@
+"""FISRnet: 3-level coarse-to-fine joint VFI+SR U-Net stack (pure JAX).
+
+Architecture parity with the reference `FISRnet.model()` (FISRnet.py:73-173):
+
+* input: [B, H, W, 29] = 3 YUV frames (9ch) + 4 bidirectional flows (8ch)
+  + 4 flow-warped frames (12ch), H/W multiples of 32;
+* level_1 runs the U-Net on the bicubic x1/4 input (exact subsampling under
+  the TF1 legacy transform — see ops/resize.py), level_2 on the x1/2 input
+  concat level-1's 9ch prediction, level_3 on full-res concat level-2's;
+* each level: 3 encoder stages (64/128/256ch, maxpool /2), 512ch bottleneck,
+  3 decoder stages (bilinear x2 + conv + skip concat + 2 res blocks), then
+  two heads — `FI-SR` (2 interpolated frames, 6ch) and `SR` (1 frame, 3ch)
+  — each conv -> res block -> conv(ch*sf^2) -> depth_to_space(sf) -> conv;
+* per-level output = concat [fr1, SR, fr2] = 9ch = 3 YUV frames at 2x the
+  level's input resolution; weights are separate per level (~16.1M each,
+  ~48.3M total).
+
+Params are a plain nested-dict pytree whose key paths mirror the TF variable
+scopes (level_1/enc/level_0/conv_in <-> FISRnet/level_1/enc/level_0/conv/0)
+so a TF checkpoint converter is a pure name map.
+
+TPU-first deviations from the reference engine (math-identical):
+* the reference built 3 weight-shared stride-1 window replicas + 1 stride-2
+  replica of this graph (FISRnet.py:281-306,403-406); we instead fold the
+  windows into the batch axis (ops/seq.stack_windows) and apply once;
+* activations compute in a configurable dtype (bf16 on TPU), params in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from fisr_tpu.ops.conv import (
+    F32,
+    Policy,
+    bottleneck,
+    conv2d,
+    dec_level,
+    depth_to_space,
+    enc_level,
+    init_conv,
+    init_res_block,
+    res_block,
+)
+from fisr_tpu.ops.resize import downsample_int
+
+Params = Dict[str, Any]
+
+BASE_CH = 64
+IN_CH = 29  # 9 img + 8 flow + 12 warp
+PRED_CH = 9  # [fr1(3), SR(3), fr2(3)]
+
+__all__ = ["init_params", "apply", "apply_level", "param_count"]
+
+
+def _init_level(rng, in_ch: int, ch: int = BASE_CH, sf: int = 2) -> Params:
+    ks = jax.random.split(rng, 32)
+    k = iter(ks)
+
+    def enc(c_in, c):
+        return {
+            "conv_in": init_conv(next(k), 3, c_in, c),
+            "res0": init_res_block(next(k), c),
+            "res1": init_res_block(next(k), c),
+        }
+
+    def dec(c_in, c):
+        return {
+            "resize": init_conv(next(k), 3, c_in, c),
+            "conv_in": init_conv(next(k), 3, c * 2, c),
+            "res0": init_res_block(next(k), c),
+            "res1": init_res_block(next(k), c),
+        }
+
+    def head(out_ch):
+        r = jax.random.split(next(k), 4)
+        return {
+            "conv0": init_conv(r[0], 3, ch, ch),
+            "res0": init_res_block(r[1], ch),
+            "conv1": init_conv(r[2], 3, ch, ch * sf * sf),
+            "conv2": init_conv(r[3], 3, ch, out_ch),
+        }
+
+    return {
+        "enc": {
+            "level_0": enc(in_ch, ch),
+            "level_1": enc(ch, ch * 2),
+            "level_2": enc(ch * 2, ch * 4),
+        },
+        "bottleneck": {
+            "conv_in": init_conv(next(k), 3, ch * 4, ch * 8),
+            "res0": init_res_block(next(k), ch * 8),
+        },
+        "dec": {
+            "level_2": dec(ch * 8, ch * 4),
+            "level_1": dec(ch * 4, ch * 2),
+            "level_0": dec(ch * 2, ch),
+        },
+        "fisr": head(6),
+        "sr": head(3),
+    }
+
+
+def init_params(rng, in_ch: int = IN_CH, sf: int = 2) -> Params:
+    """3 separately-weighted levels; level 2/3 additionally see the previous
+    level's 9ch prediction (FISRnet.py:116,147)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "level_1": _init_level(k1, in_ch, sf=sf),
+        "level_2": _init_level(k2, in_ch + PRED_CH, sf=sf),
+        "level_3": _init_level(k3, in_ch + PRED_CH, sf=sf),
+    }
+
+
+def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) -> jnp.ndarray:
+    """One U-Net level: x [B, h, w, C] -> prediction [B, h*sf, w*sf, 9]."""
+    x = policy.cast(x)
+    n, skip0 = enc_level(p["enc"]["level_0"], x, policy)
+    n, skip1 = enc_level(p["enc"]["level_1"], n, policy)
+    n, skip2 = enc_level(p["enc"]["level_2"], n, policy)
+    n = bottleneck(p["bottleneck"], n, policy)
+    h, w = x.shape[1], x.shape[2]
+    n = dec_level(p["dec"]["level_2"], n, skip2, (h // 4, w // 4), policy)
+    n = dec_level(p["dec"]["level_1"], n, skip1, (h // 2, w // 2), policy)
+    n = dec_level(p["dec"]["level_0"], n, skip0, (h, w), policy)
+
+    def run_head(hp, out_ch):
+        m = conv2d(hp["conv0"], n, policy)
+        m = res_block(hp["res0"], m, policy)
+        m = conv2d(hp["conv1"], jax.nn.relu(m), policy)
+        m = depth_to_space(jax.nn.relu(m), sf)
+        return conv2d(hp["conv2"], m, policy)
+
+    pred_fisr = run_head(p["fisr"], 6)  # [fr1, fr2]
+    pred_sr = run_head(p["sr"], 3)
+    fr1, fr2 = pred_fisr[..., :3], pred_fisr[..., 3:]
+    return jnp.concatenate([fr1, pred_sr, fr2], axis=-1)
+
+
+def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32):
+    """Full 3-level stack. img: [B, H, W, 29] (H, W multiples of 32).
+
+    Returns (pred_l1, pred_l2, pred_l3) at resolutions (H/2, H, 2H) — parity
+    with FISRnet.model()'s three-scale outputs. The x1/4 and x1/2 inputs use
+    the TF1-legacy bicubic, which for integer factors is exact subsampling.
+    """
+    img_l1 = downsample_int(img, 4)
+    pred_l1 = apply_level(params["level_1"], img_l1, sf, policy)
+
+    img_l2 = jnp.concatenate([policy.cast(downsample_int(img, 2)), pred_l1], axis=-1)
+    pred_l2 = apply_level(params["level_2"], img_l2, sf, policy)
+
+    img_l3 = jnp.concatenate([policy.cast(img), pred_l2], axis=-1)
+    pred_l3 = apply_level(params["level_3"], img_l3, sf, policy)
+    return pred_l1, pred_l2, pred_l3
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,206 @@
+"""PWC-Net optical flow (pyramid / warping / cost volume), pure JAX.
+
+Architecture parity with the vendored tfoptflow model in its `pwcnet-lg-6-2`
+configuration — 6 pyramid levels, flow predicted at level 2, dense estimator
+connections + residual context refinement, search range 4 — the exact config
+FISR uses for flow precomputation
+(FISR_tfoptflow/FISR_for_video_pwcnet_predict_from_img_test.py:96-106).
+
+Components (reference: model_pwcnet.py):
+* feature pyramid  — shared-weight siamese, 6 x (stride-2 conv + 2 convs),
+  channels 16/32/64/96/128/196, leaky-relu 0.1 (:1012-1101);
+* warping layer    — dense bilinear backward warp of image-2 features by the
+  upsampled flow scaled by 20/2^lvl (:1106-1178, :1560);
+* cost volume      — 81-shift local correlation + leaky-relu (:1226-1277);
+* flow estimator   — 5 convs (128/128/96/64/32) with DenseNet concats, conv
+  -> 2ch flow (:1282-1448);
+* context network  — 7 dilated convs (dilations 1/2/4/8/16/1/1), residual
+  flow refinement (:1453-1520);
+* top-down loop    — level 6 from raw correlation, levels 5..2 warp+corr+
+  estimate, learned 4x4/2 transpose-conv upsampling of flow and features,
+  final bilinear x4 upsample with 4x magnitude rescale (:1525-1593).
+
+Params are a nested-dict pytree; NHWC bf16-ready like FISRnet.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from fisr_tpu.ops.conv import F32, Policy, conv2d, init_conv
+from fisr_tpu.ops.cost_volume import cost_volume
+from fisr_tpu.ops.resize import resize_tf1
+from fisr_tpu.ops.warp import dense_image_warp
+
+Params = Dict[str, Any]
+
+PYR_CHANNELS = [None, 16, 32, 64, 96, 128, 196]  # 1-based
+EST_CHANNELS = [128, 128, 96, 64, 32]
+CTX_SPEC = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1), (2, 1)]
+
+__all__ = ["PWCNetConfig", "init_params", "apply", "extract_features"]
+
+
+class PWCNetConfig:
+    """pwcnet-lg-6-2 defaults (model_pwcnet.py:33-198 option dicts)."""
+
+    def __init__(self, pyr_lvls: int = 6, flow_pred_lvl: int = 2,
+                 search_range: int = 4, use_dense_cx: bool = True,
+                 use_res_cx: bool = True):
+        self.pyr_lvls = pyr_lvls
+        self.flow_pred_lvl = flow_pred_lvl
+        self.search_range = search_range
+        self.use_dense_cx = use_dense_cx
+        self.use_res_cx = use_res_cx
+
+
+def _leaky(x):
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+def _init_deconv(rng, c_in: int, c_out: int = 2) -> Params:
+    w = jax.nn.initializers.glorot_normal(in_axis=(0, 1, 2), out_axis=3)(
+        rng, (4, 4, c_in, c_out), jnp.float32
+    )
+    return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def _deconv(p: Params, x: jnp.ndarray, policy: Policy) -> jnp.ndarray:
+    """4x4 stride-2 SAME transpose conv (learned x2 upsample,
+    model_pwcnet.py:1180-1221)."""
+    out = jax.lax.conv_transpose(
+        policy.cast(x), p["w"].astype(policy.compute_dtype),
+        strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["b"].astype(policy.compute_dtype)
+
+
+def _estimator_channels(cfg: PWCNetConfig, lvl: int) -> int:
+    """Input channel count of the estimator at `lvl` (corr [+ c1, flow, feat])."""
+    od = (2 * cfg.search_range + 1) ** 2
+    if lvl < cfg.pyr_lvls:
+        od += PYR_CHANNELS[lvl] + 2 + 2
+    return od
+
+
+def _upfeat_channels(cfg: PWCNetConfig, lvl: int) -> int:
+    od = _estimator_channels(cfg, lvl)
+    return od + sum(EST_CHANNELS) if cfg.use_dense_cx else EST_CHANNELS[-1]
+
+
+def init_params(rng, cfg: PWCNetConfig = PWCNetConfig()) -> Params:
+    keys = iter(jax.random.split(rng, 256))
+    feat = {}
+    c_prev = 3
+    for lvl in range(1, cfg.pyr_lvls + 1):
+        c = PYR_CHANNELS[lvl]
+        feat[f"level_{lvl}"] = {
+            "a": init_conv(next(keys), 3, c_prev, c),
+            "aa": init_conv(next(keys), 3, c, c),
+            "b": init_conv(next(keys), 3, c, c),
+        }
+        c_prev = c
+
+    flow, ctx, up = {}, {}, {}
+    for lvl in range(cfg.pyr_lvls, cfg.flow_pred_lvl - 1, -1):
+        od = _estimator_channels(cfg, lvl)
+        lv = {}
+        c_in = od
+        for i, c in enumerate(EST_CHANNELS):
+            lv[f"conv{i}"] = init_conv(next(keys), 3, c_in, c)
+            c_in = c_in + c if cfg.use_dense_cx else c
+        lv["pred"] = init_conv(next(keys), 3, c_in, 2)
+        flow[f"level_{lvl}"] = lv
+
+        if cfg.use_res_cx or lvl == cfg.flow_pred_lvl:
+            cx = {}
+            cx_in = _upfeat_channels(cfg, lvl)
+            for i, (c, _dil) in enumerate(CTX_SPEC):
+                cx[f"dc{i+1}"] = init_conv(next(keys), 3, cx_in, c)
+                cx_in = c
+            ctx[f"level_{lvl}"] = cx
+
+        if lvl != cfg.flow_pred_lvl:
+            up[f"level_{lvl}"] = {
+                "flow": _init_deconv(next(keys), 2),
+                "feat": _init_deconv(next(keys), _upfeat_channels(cfg, lvl)),
+            }
+
+    return {"feat": feat, "flow": flow, "ctx": ctx, "up": up}
+
+
+def extract_features(p: Params, x: jnp.ndarray, cfg: PWCNetConfig,
+                     policy: Policy = F32):
+    """Siamese pyramid for one image: x [B, H, W, 3] -> list of levels 1..L."""
+    out = [None]
+    n = policy.cast(x)
+    for lvl in range(1, cfg.pyr_lvls + 1):
+        lp = p["feat"][f"level_{lvl}"]
+        n = _leaky(conv2d(lp["a"], n, policy, stride=2))
+        n = _leaky(conv2d(lp["aa"], n, policy))
+        n = _leaky(conv2d(lp["b"], n, policy))
+        out.append(n)
+    return out
+
+
+def _estimate(p: Params, x: jnp.ndarray, cfg: PWCNetConfig, policy: Policy):
+    """Flow estimator with optional DenseNet concats; returns (upfeat, flow)."""
+    for i in range(len(EST_CHANNELS)):
+        act = _leaky(conv2d(p[f"conv{i}"], x, policy))
+        x = jnp.concatenate([act, x], axis=-1) if cfg.use_dense_cx else act
+    return x, conv2d(p["pred"], x, policy)
+
+
+def _refine(p: Params, feat: jnp.ndarray, flow: jnp.ndarray, cfg: PWCNetConfig,
+            policy: Policy) -> jnp.ndarray:
+    x = feat
+    for i, (_c, dil) in enumerate(CTX_SPEC):
+        x = conv2d(p[f"dc{i+1}"], x, policy, dilation=dil)
+        if i < len(CTX_SPEC) - 1:
+            x = _leaky(x)
+    return flow + x
+
+
+def apply(params: Params, img1: jnp.ndarray, img2: jnp.ndarray,
+          cfg: PWCNetConfig = PWCNetConfig(), policy: Policy = F32):
+    """Predict flow img1 -> img2.
+
+    img1/img2: [B, H, W, 3] in [0, 1], H and W multiples of 2**pyr_lvls
+    (callers pad — parity with adapt_x, model_pwcnet.py:371-409).
+    Returns (flow_pred [B, H, W, 2] in full-res pixel units, flow_pyramid).
+    """
+    c1 = extract_features(params, img1, cfg, policy)
+    c2 = extract_features(params, img2, cfg, policy)
+
+    flow_pyr = []
+    up_flow = up_feat = None
+    for lvl in range(cfg.pyr_lvls, cfg.flow_pred_lvl - 1, -1):
+        if lvl == cfg.pyr_lvls:
+            corr = _leaky(cost_volume(c1[lvl], c2[lvl], cfg.search_range))
+            x = corr
+        else:
+            scaler = jnp.asarray(20.0 / 2**lvl, policy.compute_dtype)
+            warped = dense_image_warp(c2[lvl], up_flow * scaler)
+            corr = _leaky(cost_volume(c1[lvl], warped, cfg.search_range))
+            x = jnp.concatenate([corr, c1[lvl], up_flow, up_feat], axis=-1)
+
+        upfeat, flow = _estimate(params["flow"][f"level_{lvl}"], x, cfg, policy)
+
+        if lvl != cfg.flow_pred_lvl:
+            if cfg.use_res_cx:
+                flow = _refine(params["ctx"][f"level_{lvl}"], upfeat, flow, cfg, policy)
+            flow_pyr.append(flow)
+            up_flow = _deconv(params["up"][f"level_{lvl}"]["flow"], flow, policy)
+            up_feat = _deconv(params["up"][f"level_{lvl}"]["feat"], upfeat, policy)
+        else:
+            flow = _refine(params["ctx"][f"level_{lvl}"], upfeat, flow, cfg, policy)
+            flow_pyr.append(flow)
+            scaler = 2**cfg.flow_pred_lvl
+            h, w = flow.shape[1] * scaler, flow.shape[2] * scaler
+            flow_pred = resize_tf1(flow.astype(jnp.float32), (h, w), "bilinear") * scaler
+
+    return flow_pred, flow_pyr
