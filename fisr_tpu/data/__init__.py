@@ -1,1 +1,1 @@
-from fisr_tpu.data import flo, matio, png_io  # noqa: F401
+from fisr_tpu.data import dataset, flo, matio, png_io, synth  # noqa: F401

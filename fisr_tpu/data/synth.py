@@ -1,0 +1,101 @@
+"""Synthetic FISR-format data generation.
+
+The reference repo ships no training corpus or checkpoint (data/info.txt
+placeholders only), so tests, benchmarks, and end-to-end CLI runs use a
+synthetic corpus with the exact on-disk contract: 5-frame LR /96x96 + 7-frame
+HR /192x192 .mat stacks, custom 5-dim .flo flows (stride 1: 8 bidirectional,
+stride 2: 4), and warped-frame .mat stacks — moving-gradient scenes so flow
+and interpolation are meaningful, not noise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from fisr_tpu.data import flo as flo_io
+from fisr_tpu.data import matio
+from fisr_tpu.data.dataset import TrainStore, _merge
+
+__all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus"]
+
+
+def _scene(rng, n_frames: int, h: int, w: int) -> np.ndarray:
+    """Moving smooth pattern, [n_frames, h, w, 3] in [0, 255]."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    fx, fy = rng.uniform(0.02, 0.08, 2)
+    vx, vy = rng.uniform(-2.0, 2.0, 2)
+    phase = rng.uniform(0, 6.28, 3)
+    frames = []
+    for t in range(n_frames):
+        chans = [
+            127.5 + 127.5 * np.sin(fx * (xx - vx * t) + fy * (yy - vy * t) + phase[c])
+            for c in range(3)
+        ]
+        frames.append(np.stack(chans, -1))
+    return np.stack(frames).astype(np.float32)
+
+
+def synthetic_arrays(n_samples: int = 8, h: int = 96, w: int = 96, seed: int = 0):
+    """Returns dict of 5-dim arrays in the reference's units:
+    LR [N,5,h,w,3] & HR [N,7,2h,2w,3] in [0,255]; flows in pixels;
+    warps in [0,255]."""
+    rng = np.random.default_rng(seed)
+    lr = np.zeros((n_samples, 5, h, w, 3), np.float32)
+    hr = np.zeros((n_samples, 7, 2 * h, 2 * w, 3), np.float32)
+    flow = np.zeros((n_samples, 8, h, w, 2), np.float32)
+    flow_ss2 = np.zeros((n_samples, 4, h, w, 2), np.float32)
+    warp = np.zeros((n_samples, 8, h, w, 3), np.float32)
+    warp_ss2 = np.zeros((n_samples, 4, h, w, 3), np.float32)
+    for i in range(n_samples):
+        hi = _scene(rng, 9, 2 * h, 2 * w)  # 9 HR half-step frames
+        hr[i] = hi[1:8]
+        lr[i] = hi[::2][:, ::2, ::2]  # every other frame, subsampled 2x
+        fl = rng.uniform(-3, 3, (8, 1, 1, 2)).astype(np.float32)
+        flow[i] = np.broadcast_to(fl, (8, h, w, 2))
+        fl2 = rng.uniform(-5, 5, (4, 1, 1, 2)).astype(np.float32)
+        flow_ss2[i] = np.broadcast_to(fl2, (4, h, w, 2))
+        warp[i] = lr[i, [0, 1, 1, 2, 2, 3, 3, 4]]  # frame-adjacent stand-ins
+        warp_ss2[i] = lr[i, [0, 2, 2, 4]]
+    return {
+        "lr": lr, "hr": hr, "flow": flow, "flow_ss2": flow_ss2,
+        "warp": warp, "warp_ss2": warp_ss2,
+    }
+
+
+def synthetic_store(n_samples: int = 8, h: int = 96, w: int = 96, seed: int = 0,
+                    val_size: int = 2) -> TrainStore:
+    a = synthetic_arrays(n_samples, h, w, seed)
+    return TrainStore(
+        data=_merge(a["lr"] / 255.0),
+        label=_merge(a["hr"] / 255.0),
+        flow=_merge(a["flow"] / h / 2.0),
+        flow_ss2=_merge(a["flow_ss2"] / h / 2.0),
+        warp=_merge(a["warp"] / 255.0),
+        warp_ss2=_merge(a["warp_ss2"] / 255.0),
+        val_size=val_size,
+    )
+
+
+def write_synthetic_corpus(folder: str, n_samples: int = 8, h: int = 96,
+                           w: int = 96, seed: int = 0) -> dict:
+    """Write a full on-disk corpus in the reference file formats; returns the
+    path dict consumable by TrainStore.from_files."""
+    os.makedirs(folder, exist_ok=True)
+    a = synthetic_arrays(n_samples, h, w, seed)
+    paths = {
+        "data_path": os.path.join(folder, "LR_synth_5seq.mat"),
+        "label_path": os.path.join(folder, "HR_synth_5seq.mat"),
+        "flow_path": os.path.join(folder, "LR_synth_5seq_ss1.flo"),
+        "flow_ss2_path": os.path.join(folder, "LR_synth_5seq_ss2.flo"),
+        "warp_path": os.path.join(folder, "LR_synth_5seq_ss1_warp.mat"),
+        "warp_ss2_path": os.path.join(folder, "LR_synth_5seq_ss2_warp.mat"),
+    }
+    matio.write_train_mat(paths["data_path"], "LR_data", a["lr"])
+    matio.write_train_mat(paths["label_path"], "HR_data", a["hr"])
+    flo_io.write_flo_5dim(a["flow"], paths["flow_path"])
+    flo_io.write_flo_5dim(a["flow_ss2"], paths["flow_ss2_path"])
+    matio.write_warp_mat(a["warp"], paths["warp_path"])
+    matio.write_warp_mat(a["warp_ss2"], paths["warp_ss2_path"])
+    return paths

@@ -1,0 +1,109 @@
+"""Checkpointing: step-keyed saves, resume math, and best-k retention.
+
+Replaces two reference mechanisms:
+* FISRnet's `tf.train.Saver(max_to_keep=1)` + per-epoch save keyed on the
+  global step, with resume deriving (epoch, batch) from the step counter
+  (FISRnet.py:585,742-743,1092-1115);
+* tfoptflow's missing `ckpt_mgr.BestCheckpointSaver` — top-k checkpoints
+  ranked by a validation metric with a JSON ledger (model_base.py:115-191).
+
+Storage is orbax (the TPU-native checkpoint stack: async-capable,
+multi-host-safe pytree serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager", "derive_epoch_batch"]
+
+
+def derive_epoch_batch(step: int, iters_per_epoch: int) -> Tuple[int, int]:
+    """Resume bookkeeping (FISRnet.py:596-606)."""
+    epoch = step // iters_per_epoch
+    return epoch, step - epoch * iters_per_epoch
+
+
+class CheckpointManager:
+    """Step-keyed pytree checkpoints with optional best-k retention."""
+
+    def __init__(self, directory: str, max_to_keep: int = 1,
+                 best_mode: Optional[str] = None):
+        """best_mode: None (keep latest max_to_keep), 'min' or 'max' (keep
+        the best max_to_keep ranked by the recorded metric)."""
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self.best_mode = best_mode
+        self._ledger_path = os.path.join(self.directory, "ledger.json")
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # -- ledger -------------------------------------------------------------
+    def _read_ledger(self) -> dict:
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        return {"entries": []}
+
+    def _write_ledger(self, ledger: dict) -> None:
+        with open(self._ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    # -- API ----------------------------------------------------------------
+    def save(self, step: int, tree: Any, metric: Optional[float] = None) -> None:
+        path = self._step_dir(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, tree)
+        ledger = self._read_ledger()
+        ledger["entries"] = [e for e in ledger["entries"] if e["step"] != step]
+        ledger["entries"].append({"step": step, "metric": metric})
+        # retention
+        entries = ledger["entries"]
+        if self.best_mode and all(e["metric"] is not None for e in entries):
+            reverse = self.best_mode == "max"
+            entries.sort(key=lambda e: e["metric"], reverse=reverse)
+        else:
+            entries.sort(key=lambda e: e["step"])
+        keep = entries[-self.max_to_keep:] if not self.best_mode else entries[: self.max_to_keep]
+        drop = [e for e in entries if e not in keep]
+        for e in drop:
+            p = self._step_dir(e["step"])
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        ledger["entries"] = sorted(keep, key=lambda e: e["step"])
+        self._write_ledger(ledger)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"step_(\d+)", name)
+            if m:
+                steps.append(int(m.group(1)))
+        return max(steps) if steps else None
+
+    def best_step(self) -> Optional[int]:
+        ledger = self._read_ledger()
+        entries = [e for e in ledger["entries"] if e["metric"] is not None]
+        if not entries:
+            return self.latest_step()
+        key = min if self.best_mode != "max" else max
+        return key(entries, key=lambda e: e["metric"])["step"]
+
+    def restore(self, step: Optional[int] = None, item: Any = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if item is not None:
+            return self._ckptr.restore(self._step_dir(step), item=item)
+        return self._ckptr.restore(self._step_dir(step))
