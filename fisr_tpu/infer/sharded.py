@@ -1,0 +1,64 @@
+"""Halo-sharded multi-chip inference (shard_map + ppermute).
+
+The TPU-native replacement for the reference's serial patch loop
+(FISRnet.py:846-880): the frame is sharded along image width over the mesh's
+'spatial' axis; each chip exchanges `boundary`-pixel halo strips with its
+ring neighbors via `jax.lax.ppermute` (pure ICI traffic), runs FISRnet on
+its extended strip, trims the halo, and the output canvas materializes
+already sharded. Zero host round-trips, zero retraces, all chips busy.
+
+Math note: ends of the frame receive zero halos (masked wrapped strips), so
+the result is bit-identical to `TiledRunner(mode='padded')` with a (1, N)
+grid — the single-device cross-check used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fisr_tpu.core.mesh import SPATIAL_AXIS
+from fisr_tpu.models import fisrnet
+from fisr_tpu.ops.conv import F32, Policy
+
+try:  # jax>=0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_sharded_runner"]
+
+
+def make_sharded_runner(mesh: Mesh, axis: str = SPATIAL_AXIS, boundary: int = 32,
+                        sf: int = 2, policy: Policy = F32):
+    """Returns a jitted fn(params, inp [B, h, w, 29]) -> [B, h*sf, w*sf, 9]
+    with `w` divisible by mesh.shape[axis] * 32."""
+    n = mesh.shape[axis]
+
+    def local_fn(params, x):
+        # x: local strip [B, h, w/n, 29]
+        idx = jax.lax.axis_index(axis)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        # halo from my left neighbor = their rightmost strip, and vice versa
+        from_left = jax.lax.ppermute(x[:, :, -boundary:], axis, fwd)
+        from_right = jax.lax.ppermute(x[:, :, :boundary], axis, bwd)
+        zero = jnp.zeros_like(from_left)
+        from_left = jnp.where(idx == 0, zero, from_left)
+        from_right = jnp.where(idx == n - 1, zero, from_right)
+        x_ext = jnp.concatenate([from_left, x, from_right], axis=2)
+        pred = fisrnet.apply(params, x_ext, sf, policy)[2]
+        t = boundary * sf
+        return pred[:, :, t:-t, :].astype(jnp.float32)
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None)),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

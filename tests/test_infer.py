@@ -1,0 +1,86 @@
+"""Tiled + halo-sharded inference: parity against the reference tiling logic
+and against each other, on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fisr_tpu.core.mesh import make_mesh
+from fisr_tpu.infer.sharded import make_sharded_runner
+from fisr_tpu.infer.tiled import TiledRunner, get_hw_boundary, trim_patch_boundary
+from fisr_tpu.models import fisrnet
+
+
+@pytest.fixture(scope="module")
+def params():
+    return fisrnet.init_params(jax.random.PRNGKey(0))
+
+
+def ref_tiled_loop(params, inp, grid, boundary, sf=2):
+    """Direct port of the reference's sequential per-patch loop
+    (FISRnet.py:846-880) as ground truth for the exact mode."""
+    b, h, w, _ = inp.shape
+    s_h, s_w = h // grid[0], w // grid[1]
+    out = np.zeros((b, h * sf, w * sf, 9), np.float32)
+    for p in range(grid[0] * grid[1]):
+        p_h, p_w = p // grid[1], p % grid[1]
+        hl, hh, wl, wh, _, _ = get_hw_boundary(boundary, h, w, p_h, s_h, p_w, s_w)
+        pred = np.asarray(fisrnet.apply(params, jnp.asarray(inp[:, hl:hh, wl:wh]))[2],
+                          np.float32)
+        pred = trim_patch_boundary(pred, boundary, h, w, p_h, s_h, p_w, s_w, sf)
+        out[:, p_h * s_h * sf : (p_h + 1) * s_h * sf,
+            p_w * s_w * sf : (p_w + 1) * s_w * sf] = pred
+    return out
+
+
+def test_halo_math_exact_port():
+    # 2x2 grid on 128x128: every patch is a frame corner -> one-sided halos
+    for p_h in range(2):
+        for p_w in range(2):
+            hl, hh, wl, wh, ah, aw = get_hw_boundary(32, 128, 128, p_h, 64, p_w, 64)
+            assert ah == 32 and aw == 32
+            assert hh - hl == 96 and wh - wl == 96
+    # 1x1 grid: no halo anywhere
+    assert get_hw_boundary(32, 64, 64, 0, 64, 0, 64) == (0, 64, 0, 64, 0, 0)
+    # interior patch of a 4x4 grid gets two-sided halos
+    _, _, _, _, ah, aw = get_hw_boundary(8, 256, 256, 1, 64, 2, 64)
+    assert ah == 16 and aw == 16
+
+
+def test_tiled_exact_matches_reference_loop(params):
+    # patch sizes must stay multiples of 32 (3 maxpools at the 1/4-scale
+    # level), same constraint the reference enforces by cropping
+    rng = np.random.default_rng(0)
+    inp = rng.uniform(size=(1, 128, 128, 29)).astype(np.float32)
+    runner = TiledRunner(params, grid=(2, 2), boundary=32)
+    got = runner(inp)
+    want = ref_tiled_loop(params, inp, (2, 2), 32)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+
+
+def test_tiled_single_patch_equals_direct_apply(params):
+    rng = np.random.default_rng(1)
+    inp = rng.uniform(size=(1, 32, 32, 29)).astype(np.float32)
+    runner = TiledRunner(params, grid=(1, 1), boundary=32)
+    got = runner(inp)
+    want = np.asarray(fisrnet.apply(params, jnp.asarray(inp))[2], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_matches_padded_tiling(params):
+    """The ppermute halo exchange must be math-identical to single-device
+    zero-padded tiling with a (1, N) grid."""
+    n = 8
+    mesh = make_mesh((1, n))
+    rng = np.random.default_rng(2)
+    # width 8*32 = 256 -> 32 columns per device, halo 32 (keeps every local
+    # extended strip a multiple of 32)
+    inp = rng.uniform(size=(1, 32, 256, 29)).astype(np.float32)
+    sharded = make_sharded_runner(mesh, boundary=32)
+    got = np.asarray(sharded(params, jnp.asarray(inp)), np.float32)
+
+    runner = TiledRunner(params, grid=(1, n), boundary=32, mode="padded")
+    want = runner(inp)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    assert got.shape == (1, 64, 512, 9)
