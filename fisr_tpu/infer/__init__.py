@@ -1,1 +1,1 @@
-from fisr_tpu.infer import sharded, tiled  # noqa: F401
+from fisr_tpu.infer import device, sharded, tiled  # noqa: F401
