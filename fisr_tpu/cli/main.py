@@ -1,0 +1,200 @@
+"""CLI driver: `python -m fisr_tpu.cli.main --phase {train,test,FISR_for_video}`.
+
+Flag-compatible rebuild of the reference driver (main.py:23-106), with its
+known flag bugs fixed: grid/size options are proper `int int` pairs instead
+of `type=tuple` (which split CLI strings into characters, main.py:89-102).
+
+Phases (main.py:123-236 dispatch parity):
+  train          — fit on the .mat/.flo corpus, then auto-run test
+  test           — 4K benchmark eval from precomputed .flo/.mat inputs
+  FISR_for_video — flow -> warp -> FISRnet over a folder of YUV PNGs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+__all__ = ["parse_args", "main"]
+
+
+def parse_args(argv=None):
+    desc = "FISR-TPU: joint VFI+SR with a multi-scale temporal loss (TPU-native)"
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--net_type", type=str, default="FISRnet", choices=["FISRnet"])
+    p.add_argument("--phase", type=str, default="FISR_for_video",
+                   choices=["train", "test", "FISR_for_video"])
+    p.add_argument("--scale_factor", type=int, default=2)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="activation dtype (params always f32)")
+
+    # directories / data
+    p.add_argument("--train_data_path", type=str,
+                   default="./data/train/LR_LFR/LR_Surfing_SlamDunk_5seq.mat")
+    p.add_argument("--train_flow_data_path", type=str,
+                   default="./data/train/flow/LR_Surfing_SlamDunk_5seq_ss1.flo")
+    p.add_argument("--train_flow_ss2_data_path", type=str,
+                   default="./data/train/flow/LR_Surfing_SlamDunk_5seq_ss2.flo")
+    p.add_argument("--train_warped_data_path", type=str,
+                   default="./data/train/warped/LR_Surfing_SlamDunk_5seq_ss1_warp.mat")
+    p.add_argument("--train_wapred_ss2_data_path", type=str,
+                   default="./data/train/warped/LR_Surfing_SlamDunk_5seq_ss2_warp.mat")
+    p.add_argument("--train_label_path", type=str,
+                   default="./data/train/HR_HFR/HR_Surfing_SlamDunk_5seq.mat")
+    p.add_argument("--test_data_path", type=str, default="./data/test/LR_LFR")
+    p.add_argument("--test_flow_data_path", type=str,
+                   default="./data/test/flow/LR_Surfing_SlamDunk_test_ss1.flo")
+    p.add_argument("--test_warped_data_path", type=str,
+                   default="./data/test/warped/LR_Surfing_SlamDunk_test_ss1_warp.mat")
+    p.add_argument("--test_label_path", type=str, default="./data/test/HR_HFR")
+    p.add_argument("--test_img_dir", type=str, default="./test_img_dir")
+    p.add_argument("--text_dir", type=str, default="./text_dir")
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoint_dir")
+    p.add_argument("--log_dir", type=str, default="./logdir")
+
+    # training hyperparameters (main.py:64-77)
+    p.add_argument("--exp_num", type=int, default=1)
+    p.add_argument("--epoch", type=int, default=100)
+    p.add_argument("--freq_display", type=int, default=100)
+    p.add_argument("--init_lr", type=float, default=1e-4)
+    p.add_argument("--lr_type", type=str, default="stair_decay",
+                   choices=["linear_decay", "stair_decay", "no_decay"])
+    p.add_argument("--lr_stair_decay_points", type=int, nargs="+", default=[80, 90])
+    p.add_argument("--lr_decreasing_factor", type=float, default=0.1)
+    p.add_argument("--lr_linear_decay_point", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--val_batch_size", type=int, default=2)
+    p.add_argument("--val_data_size", type=int, default=320)
+
+    # loss lambdas (main.py:80-85)
+    p.add_argument("--recn_lambda", type=float, default=1.0)
+    p.add_argument("--tm1_lambda", type=float, default=1.0)
+    p.add_argument("--tm2_lambda", type=float, default=0.1)
+    p.add_argument("--tmm_lambda", type=float, default=1.0)
+    p.add_argument("--td_lambda", type=float, default=0.1)
+    p.add_argument("--ss2_lambda", type=float, default=1.0)
+
+    # test settings (fixed: int pairs, not type=tuple)
+    p.add_argument("--test_patch", type=int, nargs=2, default=[2, 2])
+    p.add_argument("--test_input_size", type=int, nargs=2, default=[1080, 1920])
+
+    # FISR_for_video settings
+    p.add_argument("--frame_folder_path", type=str, default="./FISR_test_folder/scene1")
+    p.add_argument("--FISR_input_size", type=int, nargs=2, default=[1080, 1920])
+    p.add_argument("--frame_num", type=int, default=5)
+    p.add_argument("--FISR_test_patch", type=int, nargs=2, default=[2, 2])
+
+    args = p.parse_args(argv)
+    for d in (args.checkpoint_dir, args.text_dir, args.log_dir, args.test_img_dir):
+        os.makedirs(d, exist_ok=True)
+    return args
+
+
+def _policy(args):
+    import jax.numpy as jnp
+
+    from fisr_tpu.ops.conv import Policy
+
+    return Policy(jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32)
+
+
+def _model_dir(args) -> str:
+    return f"FISRnet_exp{args.exp_num}"
+
+
+def _load_params(args):
+    """Restore FISRnet params from the experiment checkpoint, or fresh init."""
+    import jax
+
+    from fisr_tpu.models import fisrnet
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = os.path.join(args.checkpoint_dir, _model_dir(args))
+    mgr = CheckpointManager(ckpt)
+    if mgr.latest_step() is not None:
+        tree = mgr.restore()
+        params = tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+        print(f" [*] restored checkpoint step {mgr.latest_step()}")
+        return params
+    print(" [!] no checkpoint found — using fresh init")
+    return fisrnet.init_params(jax.random.PRNGKey(0))
+
+
+def run_train(args):
+    from fisr_tpu.data.dataset import TrainStore
+    from fisr_tpu.train.loop import fit
+    from fisr_tpu.train.losses import LossWeights
+
+    # arg dump parity (main.py:131-134)
+    with open(os.path.join(args.text_dir, f"exp_{args.exp_num}.txt"), "a") as log:
+        log.write("----- Model parameters -----\n")
+        for k, v in vars(args).items():
+            log.write(f"{k} : {v}\n")
+
+    store = TrainStore.from_files(
+        args.train_data_path, args.train_label_path, args.train_flow_data_path,
+        args.train_flow_ss2_data_path, args.train_warped_data_path,
+        args.train_wapred_ss2_data_path, val_size=args.val_data_size,
+    )
+    weights = LossWeights(recn=args.recn_lambda, tm1=args.tm1_lambda,
+                          tm2=args.tm2_lambda, tmm=args.tmm_lambda,
+                          td=args.td_lambda, ss2=args.ss2_lambda)
+    fit(store,
+        ckpt_dir=os.path.join(args.checkpoint_dir, _model_dir(args)),
+        log_dir=os.path.join(args.log_dir, _model_dir(args)),
+        epochs=args.epoch, batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size, init_lr=args.init_lr,
+        lr_type=args.lr_type, lr_stair_decay_points=args.lr_stair_decay_points,
+        lr_decreasing_factor=args.lr_decreasing_factor,
+        lr_linear_decay_point=args.lr_linear_decay_point,
+        loss_weights=weights, freq_display=args.freq_display,
+        policy=_policy(args))
+
+
+def run_test(args):
+    from fisr_tpu.infer.evaluate import evaluate_test_set
+    from fisr_tpu.infer.tiled import TiledRunner
+
+    params = _load_params(args)
+    runner = TiledRunner(params, grid=tuple(args.test_patch), boundary=32,
+                         sf=args.scale_factor, policy=_policy(args))
+    return evaluate_test_set(
+        runner, args.test_data_path, args.test_label_path,
+        args.test_flow_data_path, args.test_warped_data_path,
+        out_dir=os.path.join(args.test_img_dir, _model_dir(args)),
+        input_size=tuple(args.test_input_size),
+    )
+
+
+def run_video(args):
+    import jax
+
+    from fisr_tpu.infer.video import run_video_pipeline
+    from fisr_tpu.models import pwcnet
+
+    params = _load_params(args)
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
+    return run_video_pipeline(
+        params, pwc_params, args.frame_folder_path,
+        grid=tuple(args.FISR_test_patch), policy=_policy(args),
+        write_artifacts=True, frame_num=args.frame_num,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    print(f"Model: {args.net_type}, phase: {args.phase}, exp: {args.exp_num}")
+    if args.phase == "train":
+        run_train(args)
+        print("[*] Training finished! Testing starts")
+        run_test(args)
+    elif args.phase == "test":
+        run_test(args)
+    else:
+        run_video(args)
+    print(f"[*] {args.phase} finished!")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ from fisr_tpu.data import flo as flo_io
 from fisr_tpu.data import matio
 from fisr_tpu.data.dataset import TrainStore, _merge
 
-__all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus"]
+__all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus",
+           "write_synthetic_test_set", "write_synthetic_video_folder"]
 
 
 def _scene(rng, n_frames: int, h: int, w: int) -> np.ndarray:
@@ -99,3 +100,55 @@ def write_synthetic_corpus(folder: str, n_samples: int = 8, h: int = 96,
     matio.write_warp_mat(a["warp"], paths["warp_path"])
     matio.write_warp_mat(a["warp_ss2"], paths["warp_ss2_path"])
     return paths
+
+
+def write_synthetic_test_set(folder: str, n_scenes: int = 1, h: int = 96,
+                             w: int = 96, seed: int = 0) -> dict:
+    """Write a reference-layout 4K-benchmark test set (scaled down): per
+    scene 5 LR YUV PNGs + 7 HR YUV PNGs, plus the scene-stacked flow .flo
+    [scenes, 8, h, w, 2] and warp .mat [scenes, 8, h, w, 3]."""
+    from fisr_tpu.data.png_io import write_png
+
+    lr_dir = os.path.join(folder, "LR_LFR")
+    hr_dir = os.path.join(folder, "HR_HFR")
+    os.makedirs(lr_dir, exist_ok=True)
+    os.makedirs(hr_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    flow = np.zeros((n_scenes, 8, h, w, 2), np.float32)
+    warp = np.zeros((n_scenes, 8, h, w, 3), np.float32)
+    for sc in range(n_scenes):
+        hi = _scene(rng, 9, 2 * h, 2 * w)  # 9 half-step HR frames in [0,255]
+        hr7 = hi[1:8]
+        lr5 = hi[::2][:, ::2, ::2]
+        for s in range(5):
+            write_png(lr5[s].astype(np.uint8),
+                      os.path.join(lr_dir, f"LR_scene{sc:02d}_seq_{s + 1}.png"))
+        for s in range(7):
+            write_png(hr7[s].astype(np.uint8),
+                      os.path.join(hr_dir, f"HR_scene{sc:02d}_seq_{s + 1}.png"))
+        flow[sc] = np.broadcast_to(
+            rng.uniform(-3, 3, (8, 1, 1, 2)).astype(np.float32), (8, h, w, 2))
+        warp[sc] = lr5[[0, 1, 1, 2, 2, 3, 3, 4]]
+    paths = {
+        "test_data_path": lr_dir,
+        "test_label_path": hr_dir,
+        "test_flow_data_path": os.path.join(folder, "LR_test_ss1.flo"),
+        "test_warped_data_path": os.path.join(folder, "LR_test_ss1_warp.mat"),
+    }
+    flo_io.write_flo_5dim(flow, paths["test_flow_data_path"])
+    matio.write_warp_mat(warp, paths["test_warped_data_path"])
+    return paths
+
+
+def write_synthetic_video_folder(folder: str, n_frames: int = 3, h: int = 64,
+                                 w: int = 64, seed: int = 0) -> str:
+    """Write a FISR_for_video-style scene folder of YUV PNGs."""
+    from fisr_tpu.data.png_io import write_png
+
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    frames = _scene(rng, n_frames, h, w)
+    for i in range(n_frames):
+        write_png(frames[i].astype(np.uint8),
+                  os.path.join(folder, f"LR_vid_fr_{i:03d}.png"))
+    return folder

@@ -1,0 +1,144 @@
+"""4K benchmark evaluation — the reference's `test` phase (FISRnet.py:746-935).
+
+Per scene (5 input LR YUV PNGs, 7 GT HR PNGs), slides 3 windows of 3 frames;
+for each window builds the 29-ch input (images + per-window flow slice
+normalized /96/2 + warp slice, FISRnet.py:834-843), runs patch-tiled
+inference, trims/stitches, and scores PSNR + SSIM per frame in YUV.
+
+Accounting parity (FISRnet.py:913-920): fr1 of every window and fr3 of the
+last window are VFI-SR frames; fr2 is the SR frame. Predictions are saved as
+RGB PNGs via the MATLAB YUV->RGB (uint8 truncation, FISRnet.py:901-910).
+
+TPU-first deltas vs the reference engine (same math):
+* the 3 windows ride the batch axis — and all windows' patches batch into
+  the same jitted applies (the reference rebuilt its graph per patch);
+* metrics can run on device; SSIM is standard Gaussian SSIM (see
+  ops/metrics.py for the SSIM_PIL caveat).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from fisr_tpu.data import flo as flo_io
+from fisr_tpu.data import matio
+from fisr_tpu.data.png_io import list_pngs, read_png, write_png
+from fisr_tpu.infer.tiled import TiledRunner
+from fisr_tpu.ops import metrics as M
+from fisr_tpu.ops.color import yuv2rgb_matlab_u8
+
+N_IN_SEQ = 3
+N_TEST_IN_SEQ = 5
+N_GT_SEQ = 3  # frames predicted per window
+
+__all__ = ["EvalResult", "evaluate_test_set"]
+
+
+@dataclasses.dataclass
+class EvalResult:
+    psnr_vfi_sr: float
+    psnr_sr: float
+    ssim_vfi_sr: float
+    ssim_sr: float
+    sec_per_frame: float
+    n_frames: int
+
+
+def evaluate_test_set(
+    runner: TiledRunner,
+    test_data_dir: str,
+    test_label_dir: str,
+    flow_path: str,
+    warp_path: str,
+    out_dir: Optional[str] = None,
+    input_size: Sequence[int] = (1080, 1920),
+    flow_norm: float = 96.0 * 2.0,
+    verbose: bool = True,
+) -> EvalResult:
+    data_paths = list_pngs(test_data_dir)
+    label_paths = list_pngs(test_label_dir)
+    n_scenes = len(data_paths) // N_TEST_IN_SEQ
+    n_label_seq = 2 * N_TEST_IN_SEQ - 3  # 7
+
+    flow = flo_io.read_flo_5dim(flow_path)  # [scenes, 8, H, W, 2]
+    flow = np.transpose(flow, (0, 2, 3, 1, 4)).reshape(flow.shape[0], *flow.shape[2:4], -1)
+    warp = matio.read_warp_mat(warp_path)  # [scenes, 8, H, W, 3] in [0,1]
+    warp = np.transpose(warp, (0, 2, 3, 1, 4)).reshape(warp.shape[0], *warp.shape[2:4], -1)
+
+    gh, gw = runner.grid
+    h0, w0 = input_size
+    h = h0 - h0 % (32 * gh)
+    w = w0 - w0 % (32 * gw)
+    sf = runner.sf
+
+    psnr_fisr, psnr_sr, ssim_fisr, ssim_sr = [], [], [], []
+    inf_time = []
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    for scene_i in range(n_scenes):
+        for sample_i in range(N_TEST_IN_SEQ - N_IN_SEQ + 1):
+            img = np.concatenate(
+                [read_png(data_paths[scene_i * N_TEST_IN_SEQ + sample_i + s])
+                 for s in range(N_IN_SEQ)], axis=2)[:h, :w]
+            label = np.concatenate(
+                [read_png(label_paths[scene_i * n_label_seq + sample_i * 2 + s])
+                 for s in range(N_GT_SEQ)], axis=2)[: h * sf, : w * sf]
+
+            img = np.clip(img.astype(np.float64) / 255.0, 0, 1)[None]
+            label = np.clip(label.astype(np.float64) / 255.0, 0, 1)
+
+            fl = flow[scene_i, :h, :w, 4 * sample_i : 4 * sample_i + 8] / flow_norm
+            fl = np.clip(fl, -1, 1)[None]
+            wp = np.clip(warp[scene_i, :h, :w, 6 * sample_i : 6 * sample_i + 12], 0, 1)[None]
+            inp = np.concatenate([img, fl, wp], axis=3).astype(np.float32)
+
+            t0 = time.time()
+            pred = np.clip(runner(inp)[0], 0, 1)
+            inf_time.append(time.time() - t0)
+
+            frame_psnr, frame_ssim = [], []
+            for s in range(N_GT_SEQ):
+                p = pred[:, :, 3 * s : 3 * (s + 1)]
+                g = label[:, :, 3 * s : 3 * (s + 1)]
+                frame_psnr.append(M.psnr_np(g, p.astype(np.float64), 1.0))
+                frame_ssim.append(float(M.ssim(
+                    (p * 255).astype(np.uint8).astype(np.float32),
+                    (g * 255).astype(np.uint8).astype(np.float32), max_val=255.0)))
+
+            psnr_fisr.append(frame_psnr[0]); ssim_fisr.append(frame_ssim[0])
+            psnr_sr.append(frame_psnr[1]); ssim_sr.append(frame_ssim[1])
+            if sample_i == 2:
+                psnr_fisr.append(frame_psnr[2]); ssim_fisr.append(frame_ssim[2])
+
+            if out_dir:
+                pred_u8 = np.uint8(pred * 255)
+                for s in range(N_GT_SEQ):
+                    name = os.path.basename(
+                        label_paths[scene_i * n_label_seq + sample_i * 2 + s])[3:]
+                    rgb = yuv2rgb_matlab_u8(pred_u8[:, :, 3 * s : 3 * (s + 1)])
+                    write_png(rgb, os.path.join(out_dir, f"pred_{name}"))
+
+            if verbose:
+                print(f" <Test> scene {scene_i}-{sample_i}: PSNR fr1 (VFI-SR) "
+                      f"{frame_psnr[0]:.4f} dB, fr2 (SR) {frame_psnr[1]:.4f} dB, "
+                      f"fr3 (VFI-SR) {frame_psnr[2]:.4f} dB", flush=True)
+
+    result = EvalResult(
+        psnr_vfi_sr=float(np.mean(psnr_fisr)),
+        psnr_sr=float(np.mean(psnr_sr)),
+        ssim_vfi_sr=float(np.mean(ssim_fisr)),
+        ssim_sr=float(np.mean(ssim_sr)),
+        sec_per_frame=float(np.mean(inf_time)),
+        n_frames=len(psnr_fisr) + len(psnr_sr),
+    )
+    if verbose:
+        print(f"######### Test (average) PSNR: VFI-SR {result.psnr_vfi_sr:.4f} dB, "
+              f"SR {result.psnr_sr:.4f} dB; SSIM: VFI-SR {result.ssim_vfi_sr:.4f}, "
+              f"SR {result.ssim_sr:.4f}; {result.sec_per_frame:.3f}s/frame #########")
+    return result

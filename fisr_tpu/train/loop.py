@@ -1,0 +1,123 @@
+"""Epoch-level training driver (console format + checkpoints + metrics log).
+
+Drives fisr_tpu.train.trainer the way FISRnet.train() drives its session
+loop (FISRnet.py:580-744): per-epoch shuffle, periodic console status, epoch
+averages, per-epoch validation, per-epoch checkpoint keyed on global step,
+and resume that derives (epoch, batch) from the restored step. Metrics go to
+a JSONL file per experiment (TB event-file writing needs TF; the JSONL is
+trivially convertible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fisr_tpu.data.dataset import TrainStore
+from fisr_tpu.ops.conv import F32, Policy
+from fisr_tpu.train import schedule as sched
+from fisr_tpu.train.checkpoint import CheckpointManager, derive_epoch_batch
+from fisr_tpu.train.losses import LossWeights
+from fisr_tpu.train.trainer import (TrainState, adam_with_schedule,
+                                    create_state, make_train_step, make_val_step)
+
+__all__ = ["fit"]
+
+
+def build_schedule(lr_type: str, init_lr: float, iters_per_epoch: int,
+                   epochs: int, stair_points, stair_factor: float,
+                   linear_decay_point: int):
+    if lr_type == "stair_decay":
+        bounds = [p * iters_per_epoch for p in stair_points]
+        return sched.stair_decay(init_lr, bounds, stair_factor)
+    if lr_type == "linear_decay":
+        return sched.linear_decay(init_lr, epochs, linear_decay_point,
+                                  iters_per_epoch)
+    return sched.no_decay(init_lr)
+
+
+def fit(
+    store: TrainStore,
+    ckpt_dir: str,
+    log_dir: Optional[str] = None,
+    epochs: int = 100,
+    batch_size: int = 8,
+    val_batch_size: int = 2,
+    init_lr: float = 1e-4,
+    lr_type: str = "stair_decay",
+    lr_stair_decay_points=(80, 90),
+    lr_decreasing_factor: float = 0.1,
+    lr_linear_decay_point: int = 50,
+    loss_weights: LossWeights = LossWeights(),
+    freq_display: int = 100,
+    policy: Policy = F32,
+    seed: int = 0,
+    resume: bool = True,
+) -> TrainState:
+    iters = store.num_batches(batch_size)
+    schedule_fn = build_schedule(lr_type, init_lr, iters, epochs,
+                                 lr_stair_decay_points, lr_decreasing_factor,
+                                 lr_linear_decay_point)
+    opt = adam_with_schedule(schedule_fn)
+    state = create_state(jax.random.PRNGKey(seed), opt)
+    step_fn = make_train_step(opt, loss_weights, policy)
+    val_fn = make_val_step(policy)
+
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+    start_epoch = 0
+    if resume and mgr.latest_step() is not None:
+        tree = mgr.restore(item={"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "step": state.step})
+        state = TrainState(tree["params"], tree["opt_state"], tree["step"])
+        start_epoch, _ = derive_epoch_batch(int(state.step), iters)
+        print(f" [*] resumed from step {int(state.step)} (epoch {start_epoch})")
+
+    metrics_path = None
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        metrics_path = os.path.join(log_dir, "metrics.jsonl")
+
+    t_start = time.time()
+    for epoch in range(start_epoch, epochs):
+        sums, count = {}, 0
+        for idx, batch in enumerate(store.batches(batch_size, epoch_seed=seed + epoch)):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, m = step_fn(state, batch)
+            count += 1
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            if idx % freq_display == 0:
+                print(f"Epoch: [{epoch:3d}], [{idx:4d}/{iters:4d}], "
+                      f"time: {(time.time() - t_start) / 60:4.2f}(min), "
+                      f"train_PSNR: {float(m['train_PSNR']):.3f}, "
+                      f"total_loss: {float(m['total_loss']):.6f}", flush=True)
+        epoch_means = {k: v / max(count, 1) for k, v in sums.items()}
+
+        val_sums, val_count = {}, 0
+        for vb in store.val_batches(val_batch_size):
+            vm = val_fn(state.params, {k: jnp.asarray(v) for k, v in vb.items()})
+            val_count += 1
+            for k, v in vm.items():
+                val_sums[k] = val_sums.get(k, 0.0) + float(v)
+        val_means = {k: v / max(val_count, 1) for k, v in val_sums.items()}
+        print(f"######### Validation epoch [{epoch}/{epochs}]: "
+              f"val_PSNR {val_means.get('val_PSNR', float('nan')):.3f} dB, "
+              f"recnLoss {val_means.get('val_recnLoss', float('nan')):.6f} #########",
+              flush=True)
+
+        if metrics_path:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "step": int(state.step),
+                                    **epoch_means, **val_means}) + "\n")
+        mgr.save(int(state.step),
+                 {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step},
+                 metric=val_means.get("val_recnLoss"))
+    return state

@@ -1,0 +1,97 @@
+"""End-to-end CLI phases on a synthetic corpus (CPU, tiny shapes):
+train (1 epoch) -> auto-test, then standalone test, then FISR_for_video."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fisr_tpu.cli.main import main as cli_main
+from fisr_tpu.data.synth import (write_synthetic_corpus,
+                                 write_synthetic_test_set,
+                                 write_synthetic_video_folder)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    corpus = write_synthetic_corpus(str(root / "train"), n_samples=5, h=32, w=32)
+    test = write_synthetic_test_set(str(root / "test"), n_scenes=1, h=32, w=32)
+    video = write_synthetic_video_folder(str(root / "video"), n_frames=3, h=64, w=64)
+    return {"root": root, "corpus": corpus, "test": test, "video": video}
+
+
+def _common_args(workdir):
+    root = workdir["root"]
+    c, t = workdir["corpus"], workdir["test"]
+    return [
+        "--compute_dtype", "float32",
+        "--train_data_path", c["data_path"],
+        "--train_label_path", c["label_path"],
+        "--train_flow_data_path", c["flow_path"],
+        "--train_flow_ss2_data_path", c["flow_ss2_path"],
+        "--train_warped_data_path", c["warp_path"],
+        "--train_wapred_ss2_data_path", c["warp_ss2_path"],
+        "--test_data_path", t["test_data_path"],
+        "--test_label_path", t["test_label_path"],
+        "--test_flow_data_path", t["test_flow_data_path"],
+        "--test_warped_data_path", t["test_warped_data_path"],
+        "--test_input_size", "32", "32",
+        "--test_patch", "1", "1",
+        "--checkpoint_dir", str(root / "ckpt"),
+        "--log_dir", str(root / "log"),
+        "--text_dir", str(root / "text"),
+        "--test_img_dir", str(root / "imgs"),
+        "--val_data_size", "2",
+        "--batch_size", "2",
+        "--val_batch_size", "2",
+        "--epoch", "1",
+        "--freq_display", "1",
+    ]
+
+
+def test_train_phase_then_autotest(workdir):
+    cli_main(["--phase", "train"] + _common_args(workdir))
+    root = workdir["root"]
+    # checkpoint written
+    assert glob.glob(str(root / "ckpt" / "FISRnet_exp1" / "step_*"))
+    # metrics logged with the reference's loss-term names
+    lines = open(root / "log" / "FISRnet_exp1" / "metrics.jsonl").read().splitlines()
+    rec = json.loads(lines[-1])
+    assert {"recnLoss", "tmLoss", "tmmLoss", "tdLoss", "val_PSNR"} <= set(rec)
+    # arg dump parity
+    assert (root / "text" / "exp_1.txt").exists()
+    # auto-test wrote prediction PNGs
+    assert glob.glob(str(root / "imgs" / "FISRnet_exp1" / "pred_*.png"))
+
+
+def test_test_phase_restores_checkpoint(workdir, capsys):
+    cli_main(["--phase", "test"] + _common_args(workdir))
+    out = capsys.readouterr().out
+    assert "restored checkpoint" in out
+    assert "Test (average)" in out
+
+
+def test_video_phase(workdir):
+    args = _common_args(workdir) + [
+        "--phase", "FISR_for_video",
+        "--frame_folder_path", workdir["video"],
+        "--FISR_input_size", "64", "64",
+        "--FISR_test_patch", "1", "1",
+        "--frame_num", "3",
+    ]
+    cli_main(args)
+    out_dir = os.path.join(workdir["video"], "FISR_frames")
+    rgb = sorted(glob.glob(os.path.join(out_dir, "pred_[0-9]*.png")))
+    yuv = sorted(glob.glob(os.path.join(out_dir, "pred_YUV_*.png")))
+    # 3 frames -> 1 window -> 3 outputs at 2x resolution
+    assert len(rgb) == 3 and len(yuv) == 3
+    from fisr_tpu.data.png_io import read_png
+
+    img = read_png(rgb[0])
+    assert img.shape == (128, 128, 3)
+    # reference-format intermediates written next to the frames
+    assert glob.glob(os.path.join(workdir["video"], "*_test_ss1_fr3.flo"))
+    assert glob.glob(os.path.join(workdir["video"], "*_ss1_fr3_warp.mat"))
