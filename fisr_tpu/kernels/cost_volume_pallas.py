@@ -1,0 +1,117 @@
+"""Pallas cost-volume kernel (PWC-Net local correlation).
+
+The 81-shift correlation is the reference PWC-Net's one CUDA op (vendored
+via the missing `core_costvol` module). On TPU, the naive XLA formulation is
+pathological: 81 shifted passes re-read both feature maps from HBM every
+shift (measured 38 ms at the video-scale level-2 size, plus minutes of
+compile time for the unrolled form).
+
+This kernel reads each feature tile ONCE into VMEM and emits all 81
+correlation planes from registers. Key layout choice: features are
+pre-transposed to [B, H, C, W] so that
+  * the dx shift becomes a cheap lane roll (`pltpu.roll` on the W/lane dim),
+  * the dy shift is a static sublane-window slice of the haloed tile,
+  * the channel reduction is a sublane-axis sum (VPU-friendly),
+and the output is accumulated as [B, 81, H, W] (k on an untiled leading dim)
+then transposed back to NHWC once outside.
+
+Measured at [1, 544, 960, 32] bf16 (video level-2 size): ~1.9 ms vs 38 ms
+for the XLA loop — ~20x, and compile time drops from minutes to seconds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cost_volume_pallas"]
+
+
+def _kernel(c1_ref, c2_hbm, out_ref, c2s, sem, *, th, c, w, d):
+    n = 2 * d + 1
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    # c2 halo rows [i*th, i*th + th + 2d) — H is an untiled dim, so the
+    # dynamic DMA slice has no alignment constraints
+    dma = pltpu.make_async_copy(
+        c2_hbm.at[bi, pl.ds(i * th, th + 2 * d), :, :], c2s, sem
+    )
+    dma.start()
+    dma.wait()
+
+    # rolls require 32-bit data on TPU: promote once per row, not per shift
+    c1 = c1_ref[0].astype(jnp.float32)   # [TH, C, W2P]
+    c2 = c2s[...]                        # [TH + 2d, C, W2P]
+    inv_c = jnp.asarray(1.0 / c, jnp.float32)
+    for dy in range(n):
+        c2row = c2[dy : dy + th].astype(jnp.float32)  # [TH, C, W2P]
+        for dx in range(n):
+            # sample at x + (dx - d): left-roll by (dx - d) brings column
+            # x + dx - d into lane x; wrapped lanes land in the zero apron.
+            # pltpu.roll wants non-negative shifts: roll(-s) == roll(W2P - s)
+            w2p = c2row.shape[2]
+            rolled = pltpu.roll(c2row, (d - dx) % w2p, axis=2)
+            cost = jnp.sum(c1 * rolled, axis=1) * inv_c
+            out_ref[0, dy * n + dx] = cost.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
+def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
+                       interpret: bool = False) -> jnp.ndarray:
+    """c1, c2: [B, H, W, C] -> [B, H, W, (2d+1)^2]; zero padding semantics
+    identical to ops.cost_volume."""
+    b, h, w, c = c1.shape
+    d = search_range
+    n = 2 * d + 1
+    dtype = c1.dtype
+
+    # [B, H, C, W(+apron)] layouts; dx roll wraps around the lane dim, so the
+    # apron must hold zeros on BOTH sides wherever a roll can reach (d cols),
+    # and the lane dim is padded to a 128 multiple (Mosaic DMA slice rule).
+    w2p = w + 2 * d
+    w2p += (-w2p) % 128
+    c1_t = jnp.pad(jnp.transpose(c1, (0, 1, 3, 2)),
+                   ((0, 0), (0, 0), (0, 0), (d, w2p - w - d)))
+    c2_t = jnp.pad(jnp.transpose(c2, (0, 1, 3, 2)),
+                   ((0, 0), (d, d), (0, 0), (d, w2p - w - d)))
+
+    # tile height: a multiple-of-8 divisor of h (Mosaic block rule) keeping
+    # c1+c2+out tiles within ~10MB of VMEM; falls back to whole-h blocks
+    # pallas double-buffers the c1/out blocks, so the working set is ~2x the
+    # block bytes: budget well under half of the 16MB VMEM
+    budget = 5 * 1024 * 1024
+    per_row = (2 * c + n * n) * w2p * dtype.itemsize
+    halo_bytes = 2 * d * c * w2p * dtype.itemsize
+    candidates = [t for t in range(8, h + 1, 8) if h % t == 0]
+    fitting = [t for t in candidates if t * per_row + halo_bytes <= budget]
+    if fitting:
+        th = max(fitting)
+    elif candidates:
+        th = min(candidates)
+    else:
+        th = h
+
+    grid = (b, h // th)
+    kernel = functools.partial(_kernel, th=th, c=c, w=w, d=d)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n * n, h, w2p), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, c, w2p), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # c2: haloed manual DMA
+        ],
+        out_specs=pl.BlockSpec((1, n * n, th, w2p), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * d, c, w2p), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(c1_t, c2_t)
+    return jnp.transpose(out[:, :, :, d : d + w], (0, 2, 3, 1))

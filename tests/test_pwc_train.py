@@ -1,0 +1,85 @@
+"""PWC-Net training: loss behavior, train step convergence, augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fisr_tpu.data.augment import AugmentOptions, augment_pair
+from fisr_tpu.models import pwcnet
+from fisr_tpu.train import schedule
+from fisr_tpu.train.pwc_loss import epe, pwcnet_loss
+from fisr_tpu.train.pwc_trainer import (create_pwc_state, make_pwc_eval_step,
+                                        make_pwc_train_step)
+from fisr_tpu.train.trainer import adam_with_schedule
+
+CFG = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
+                          cost_volume_impl="xla")
+
+
+def test_pwcnet_loss_zero_for_perfect_prediction():
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(1, 32, 32, 2)).astype(np.float32) * 4
+    # pyramid that equals the downscaled gt/20 at every level -> zero loss
+    from fisr_tpu.ops.resize import resize_tf1
+
+    pyr = [np.asarray(resize_tf1(y, (32 // 2**l, 32 // 2**l), "bilinear")) / 20.0
+           for l in (4, 3, 2)]
+    loss = float(pwcnet_loss(y, pyr, None, alphas=(0.02, 0.01, 0.005)))
+    assert loss < 1e-3
+    wrong = [p + 1.0 for p in pyr]
+    assert float(pwcnet_loss(y, wrong, None, alphas=(0.02, 0.01, 0.005))) > loss
+
+
+def test_epe():
+    a = np.zeros((1, 4, 4, 2), np.float32)
+    b = np.zeros((1, 4, 4, 2), np.float32)
+    b[..., 0] = 3.0
+    b[..., 1] = 4.0
+    assert abs(float(epe(a, b)) - 5.0) < 1e-6
+
+
+def test_pwc_train_step_decreases_loss():
+    opt = adam_with_schedule(schedule.no_decay(1e-4))
+    state = create_pwc_state(jax.random.PRNGKey(0), opt, CFG)
+    step = make_pwc_train_step(opt, CFG, gamma=0.0)
+    rng = np.random.default_rng(1)
+    batch = {
+        "x": jnp.asarray(rng.uniform(size=(2, 2, 64, 64, 3)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(2, 64, 64, 2)).astype(np.float32)),
+    }
+    first = None
+    for _ in range(6):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+
+    ev = make_pwc_eval_step(CFG)
+    out = ev(state.params, batch)
+    assert np.isfinite(float(out["epe"]))
+
+
+def test_augment_flow_consistency():
+    rng_img = np.random.default_rng(0)
+    x = rng_img.uniform(size=(2, 16, 20, 3)).astype(np.float32)
+    y = rng_img.normal(size=(16, 20, 2)).astype(np.float32)
+
+    # force a horizontal flip only
+    opts = AugmentOptions(fliplr=1.1, flipud=-1.0, translate_prob=-1.0)
+    xa, ya = augment_pair(x, y, opts, np.random.default_rng(0))
+    np.testing.assert_allclose(xa, x[:, :, ::-1])
+    np.testing.assert_allclose(ya[..., 0], -y[:, ::-1, 0])
+    np.testing.assert_allclose(ya[..., 1], y[:, ::-1, 1])
+
+    # force a vertical flip only
+    opts = AugmentOptions(fliplr=-1.0, flipud=1.1, translate_prob=-1.0)
+    xa, ya = augment_pair(x, y, opts, np.random.default_rng(0))
+    np.testing.assert_allclose(ya[..., 1], -y[::-1, :, 1])
+
+    # translation adds to flow
+    opts = AugmentOptions(fliplr=-1.0, flipud=-1.0, translate_prob=1.1,
+                          translate_frac=0.3)
+    rng = np.random.default_rng(3)
+    xa, ya = augment_pair(x, y, opts, rng)
+    shift = ya - y
+    assert np.allclose(shift, shift[0, 0])  # uniform offset
