@@ -1,0 +1,164 @@
+"""TF1 checkpoint -> fisr_tpu param-pytree conversion (pure name mapping).
+
+The reference ships its weights as TF1 checkpoints (FISRnet-122000 for
+FISRnet, pwcnet.ckpt-595000 for the flow model — neither is bundled in the
+repo; README.md:62-64,102 point at downloads). Conversion is a pure rename:
+our pytrees deliberately mirror the TF variable scopes (models/fisrnet.py,
+models/pwcnet.py), conv kernels are HWIO on both sides, and the only layout
+fix-up is TF's conv2d_transpose kernels being [k, k, OUT, IN].
+
+Input is a flat `{tf_variable_name: np.ndarray}` dict. Producing that dict
+from a `.ckpt` requires a TF installation (`tf.train.load_checkpoint`; this
+image ships none) or any TensorBundle reader — the mapping below is the
+part that must be exact, and is round-trip tested.
+
+FISRnet variable grammar (FISRnet.py:73-173 + ops.py):
+    FISRnet/level_{1,2,3}/enc/level_{0,1,2}/conv/0/{w,b}
+    FISRnet/level_*/enc/level_*/res_block/{0,1}/conv/{0,1}/{w,b}
+    FISRnet/level_*/bottleneck/{conv/0,res_block/0/conv/{0,1}}/{w,b}
+    FISRnet/level_*/dec/level_{2,1,0}/{resize,conv/0,res_block/...}/{w,b}
+    FISRnet/level_*/{FI-SR,SR}/{conv/0,res_block/0/...,conv/1,conv/2}/{w,b}
+
+PWC-Net variable grammar (model_pwcnet.py, tf.layers kernel/bias names):
+    pwcnet/featpyr/conv{lvl}{a,aa,b}/{kernel,bias}
+    pwcnet/predict_flow/conv{lvl}_{0..4}/{kernel,bias}
+    pwcnet/predict_flow/flow{lvl}/{kernel,bias}
+    pwcnet/ctxt/dc_conv{lvl}{1..7}/{kernel,bias}
+    pwcnet/upsample/up_{flow,feat}{lvl}/{kernel,bias}   (transpose convs)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["fisrnet_name_map", "pwcnet_name_map", "convert_fisrnet",
+           "convert_pwcnet", "export_fisrnet", "export_pwcnet"]
+
+
+def _conv_entries(tf_prefix: str, path: tuple, names=("w", "b")) -> Dict[str, tuple]:
+    return {f"{tf_prefix}/{names[0]}": path + ("w",),
+            f"{tf_prefix}/{names[1]}": path + ("b",)}
+
+
+def _res_entries(tf_prefix: str, path: tuple, names=("w", "b")) -> Dict[str, tuple]:
+    out = {}
+    out.update(_conv_entries(f"{tf_prefix}/conv/0", path + ("conv0",), names))
+    out.update(_conv_entries(f"{tf_prefix}/conv/1", path + ("conv1",), names))
+    return out
+
+
+def fisrnet_name_map() -> Dict[str, tuple]:
+    """{tf_var_name: pytree key path} for all 366 FISRnet variables."""
+    m: Dict[str, tuple] = {}
+    for lvl in (1, 2, 3):
+        base = f"FISRnet/level_{lvl}"
+        p = (f"level_{lvl}",)
+        for k in (0, 1, 2):
+            ep = p + ("enc", f"level_{k}")
+            m.update(_conv_entries(f"{base}/enc/level_{k}/conv/0", ep + ("conv_in",)))
+            m.update(_res_entries(f"{base}/enc/level_{k}/res_block/0", ep + ("res0",)))
+            m.update(_res_entries(f"{base}/enc/level_{k}/res_block/1", ep + ("res1",)))
+        bp = p + ("bottleneck",)
+        m.update(_conv_entries(f"{base}/bottleneck/conv/0", bp + ("conv_in",)))
+        m.update(_res_entries(f"{base}/bottleneck/res_block/0", bp + ("res0",)))
+        for k in (2, 1, 0):
+            dp = p + ("dec", f"level_{k}")
+            m.update(_conv_entries(f"{base}/dec/level_{k}/resize", dp + ("resize",)))
+            m.update(_conv_entries(f"{base}/dec/level_{k}/conv/0", dp + ("conv_in",)))
+            m.update(_res_entries(f"{base}/dec/level_{k}/res_block/0", dp + ("res0",)))
+            m.update(_res_entries(f"{base}/dec/level_{k}/res_block/1", dp + ("res1",)))
+        for tf_head, our_head in (("FI-SR", "fisr"), ("SR", "sr")):
+            hp = p + (our_head,)
+            m.update(_conv_entries(f"{base}/{tf_head}/conv/0", hp + ("conv0",)))
+            m.update(_res_entries(f"{base}/{tf_head}/res_block/0", hp + ("res0",)))
+            m.update(_conv_entries(f"{base}/{tf_head}/conv/1", hp + ("conv1",)))
+            m.update(_conv_entries(f"{base}/{tf_head}/conv/2", hp + ("conv2",)))
+    return m
+
+
+def pwcnet_name_map(pyr_lvls: int = 6, flow_pred_lvl: int = 2,
+                    use_res_cx: bool = True) -> Dict[str, tuple]:
+    kb = ("kernel", "bias")
+    m: Dict[str, tuple] = {}
+    for lvl in range(1, pyr_lvls + 1):
+        fp = ("feat", f"level_{lvl}")
+        m.update(_conv_entries(f"pwcnet/featpyr/conv{lvl}a", fp + ("a",), kb))
+        m.update(_conv_entries(f"pwcnet/featpyr/conv{lvl}aa", fp + ("aa",), kb))
+        m.update(_conv_entries(f"pwcnet/featpyr/conv{lvl}b", fp + ("b",), kb))
+    for lvl in range(pyr_lvls, flow_pred_lvl - 1, -1):
+        lp = ("flow", f"level_{lvl}")
+        for i in range(5):
+            m.update(_conv_entries(f"pwcnet/predict_flow/conv{lvl}_{i}",
+                                   lp + (f"conv{i}",), kb))
+        m.update(_conv_entries(f"pwcnet/predict_flow/flow{lvl}", lp + ("pred",), kb))
+        if use_res_cx or lvl == flow_pred_lvl:
+            cp = ("ctx", f"level_{lvl}")
+            for i in range(1, 8):
+                m.update(_conv_entries(f"pwcnet/ctxt/dc_conv{lvl}{i}",
+                                       cp + (f"dc{i}",), kb))
+        if lvl != flow_pred_lvl:
+            up = ("up", f"level_{lvl}")
+            m.update(_conv_entries(f"pwcnet/upsample/up_flow{lvl}",
+                                   up + ("flow",), kb))
+            m.update(_conv_entries(f"pwcnet/upsample/up_feat{lvl}",
+                                   up + ("feat",), kb))
+    return m
+
+
+def _set_path(tree: dict, path: tuple, value) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _convert(tf_vars: Dict[str, np.ndarray], name_map: Dict[str, tuple],
+             transpose_deconv: bool = False) -> dict:
+    params: dict = {}
+    missing = [k for k in name_map if k not in tf_vars]
+    if missing:
+        raise KeyError(f"{len(missing)} variables missing from the checkpoint, "
+                       f"e.g. {missing[:3]}")
+    for tf_name, path in name_map.items():
+        arr = np.asarray(tf_vars[tf_name], np.float32)
+        if transpose_deconv and path[0] == "up" and path[-1] == "w":
+            # TF conv2d_transpose kernels are [k, k, OUT, IN] -> HWIO
+            arr = np.transpose(arr, (0, 1, 3, 2))
+        _set_path(params, path, arr)
+    return params
+
+
+def convert_fisrnet(tf_vars: Dict[str, np.ndarray]) -> dict:
+    """TF FISRnet checkpoint variables -> fisrnet param pytree."""
+    return _convert(tf_vars, fisrnet_name_map())
+
+
+def convert_pwcnet(tf_vars: Dict[str, np.ndarray], pyr_lvls: int = 6,
+                   flow_pred_lvl: int = 2, use_res_cx: bool = True) -> dict:
+    return _convert(tf_vars, pwcnet_name_map(pyr_lvls, flow_pred_lvl, use_res_cx),
+                    transpose_deconv=True)
+
+
+def _get_path(tree, path):
+    for key in path:
+        tree = tree[key]
+    return tree
+
+
+def export_fisrnet(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse mapping (our pytree -> TF var dict) — used for round-trip
+    testing and for exporting weights back to the reference format."""
+    return {name: np.asarray(_get_path(params, path))
+            for name, path in fisrnet_name_map().items()}
+
+
+def export_pwcnet(params: dict, **kw) -> Dict[str, np.ndarray]:
+    out = {}
+    for name, path in pwcnet_name_map(**kw).items():
+        arr = np.asarray(_get_path(params, path))
+        if path[0] == "up" and path[-1] == "w":
+            arr = np.transpose(arr, (0, 1, 3, 2))
+        out[name] = arr
+    return out

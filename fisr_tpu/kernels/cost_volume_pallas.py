@@ -70,22 +70,24 @@ def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
     dtype = c1.dtype
 
     # [B, H, C, W(+apron)] layouts; dx roll wraps around the lane dim, so the
-    # apron must hold zeros on BOTH sides wherever a roll can reach (d cols),
-    # and the lane dim is padded to a 128 multiple (Mosaic DMA slice rule).
+    # apron must hold zeros on BOTH sides wherever a roll can reach (d cols).
+    # Mosaic slice rules: lane dim padded to 128, sublane (C) dim to 8 —
+    # zero channels contribute nothing to the correlation sum.
     w2p = w + 2 * d
     w2p += (-w2p) % 128
+    cp = c + (-c) % 8
     c1_t = jnp.pad(jnp.transpose(c1, (0, 1, 3, 2)),
-                   ((0, 0), (0, 0), (0, 0), (d, w2p - w - d)))
+                   ((0, 0), (0, 0), (0, cp - c), (d, w2p - w - d)))
     c2_t = jnp.pad(jnp.transpose(c2, (0, 1, 3, 2)),
-                   ((0, 0), (d, d), (0, 0), (d, w2p - w - d)))
+                   ((0, 0), (d, d), (0, cp - c), (d, w2p - w - d)))
 
     # tile height: a multiple-of-8 divisor of h (Mosaic block rule) keeping
     # c1+c2+out tiles within ~10MB of VMEM; falls back to whole-h blocks
     # pallas double-buffers the c1/out blocks, so the working set is ~2x the
     # block bytes: budget well under half of the 16MB VMEM
     budget = 5 * 1024 * 1024
-    per_row = (2 * c + n * n) * w2p * dtype.itemsize
-    halo_bytes = 2 * d * c * w2p * dtype.itemsize
+    per_row = (2 * cp + n * n) * w2p * dtype.itemsize
+    halo_bytes = 2 * d * cp * w2p * dtype.itemsize
     candidates = [t for t in range(8, h + 1, 8) if h % t == 0]
     fitting = [t for t in candidates if t * per_row + halo_bytes <= budget]
     if fitting:
@@ -102,14 +104,14 @@ def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
         out_shape=jax.ShapeDtypeStruct((b, n * n, h, w2p), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, th, c, w2p), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, th, cp, w2p), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # c2: haloed manual DMA
         ],
         out_specs=pl.BlockSpec((1, n * n, th, w2p), lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * d, c, w2p), dtype),
+            pltpu.VMEM((th + 2 * d, cp, w2p), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -98,6 +98,15 @@ def resize_tf1(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") 
     """
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
+    h, w = x.shape[h_axis], x.shape[w_axis]
+    # bilinear 2^k upscale == chained x2 (exact identity under the legacy
+    # transform); the x2 path is shift/average ops instead of gathers
+    if method == "bilinear" and size[0] % h == 0 and size[1] % w == 0:
+        fh, fw = size[0] // h, size[1] // w
+        if fh == fw and fh in (2, 4, 8, 16):
+            for _ in range(fh.bit_length() - 1):
+                x = upsample2x_bilinear(x)
+            return x
     x = _resize_axis(x, size[0], h_axis, method)
     x = _resize_axis(x, size[1], w_axis, method)
     return x
