@@ -44,7 +44,8 @@ from fisr_tpu.ops.conv import F32, Policy
 from fisr_tpu.ops.resize import resize_tf1, upsample2x_bilinear
 from fisr_tpu.ops.warp import dense_image_warp
 
-__all__ = ["make_flow_fn", "make_warp_fn", "run_video_pipeline"]
+__all__ = ["make_flow_fn", "make_warp_fn", "make_fused_video_step",
+           "run_video_pipeline"]
 
 
 def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -100,6 +101,50 @@ def make_warp_fn():
         return jnp.stack([rgb2yuv_matlab(mid1), rgb2yuv_matlab(mid2)], axis=1)
 
     return jax.jit(fn)
+
+
+def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
+                          policy: Policy = F32, upscale: int = 2, sf: int = 2):
+    """ONE jitted program for a full FISR window: bidirectional PWC flow for
+    both frame pairs -> +0.5-flow middle-frame warps -> full-frame FISRnet.
+
+    The reference runs these as three separate TF sessions writing .flo/.mat
+    files between them (main.py:211-217); here the frame window never leaves
+    HBM. fn(fisr_params, pwc_params, frames [B, 3, h, w, 3] YUV in [0, 255])
+    -> [B, h*sf, w*sf, 9] YUV in [0, 1] ([fr1, SR, fr2]).
+
+    h, w must be multiples of 32 (FISRnet) — the pipeline pads internally
+    for PWC's 64-multiple requirement.
+    """
+    from fisr_tpu.models import fisrnet
+
+    flow_fn_core = make_flow_fn(cfg, policy, upscale)
+    warp_fn = make_warp_fn()
+
+    def step(fisr_params, pwc_params, frames):
+        b, _, h, w, _ = frames.shape
+        f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
+        flows01 = flow_fn_core(pwc_params, f0, f1)  # [B, 2, h, w, 2]
+        flows12 = flow_fn_core(pwc_params, f1, f2)
+        warps01 = warp_fn(f0, f1, flows01)  # [B, 2, h, w, 3] YUV [0,255]
+        warps12 = warp_fn(f1, f2, flows12)
+
+        img = jnp.concatenate([f0, f1, f2], axis=-1) / 255.0
+        img = jnp.clip(img, 0.0, 1.0)
+        flow_norm = 96.0 * 2.0  # FISRnet.py:1016
+        fl = jnp.concatenate(
+            [flows01[:, 0], flows01[:, 1], flows12[:, 0], flows12[:, 1]], -1
+        ) / flow_norm
+        fl = jnp.clip(fl, -1.0, 1.0)
+        wp = jnp.concatenate(
+            [warps01[:, 0], warps01[:, 1], warps12[:, 0], warps12[:, 1]], -1
+        ) / 255.0
+        wp = jnp.clip(wp, 0.0, 1.0)
+        inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
+        pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
+        return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+    return jax.jit(step)
 
 
 def run_video_pipeline(

@@ -1,0 +1,52 @@
+"""Fused single-program video step == the staged flow->warp->FISRnet path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fisr_tpu.infer.video import make_flow_fn, make_fused_video_step, make_warp_fn
+from fisr_tpu.models import fisrnet, pwcnet
+
+CFG = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
+                          cost_volume_impl="xla")
+
+
+def test_fused_step_matches_staged_pipeline():
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(0))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 255, size=(1, 3, 32, 32, 3)).astype(np.float32))
+
+    fused = make_fused_video_step(CFG)
+    out = np.asarray(fused(fisr_params, pwc_params, frames))
+    assert out.shape == (1, 64, 64, 9)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+    # staged: flow -> warp -> manual input assembly -> fisrnet
+    flow_fn = make_flow_fn(CFG)
+    warp_fn = make_warp_fn()
+    f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
+    fl01 = flow_fn(pwc_params, f0, f1)
+    fl12 = flow_fn(pwc_params, f1, f2)
+    wp01 = warp_fn(f0, f1, fl01)
+    wp12 = warp_fn(f1, f2, fl12)
+    img = jnp.clip(jnp.concatenate([f0, f1, f2], -1) / 255.0, 0, 1)
+    fl = jnp.clip(jnp.concatenate([fl01[:, 0], fl01[:, 1], fl12[:, 0], fl12[:, 1]], -1)
+                  / 192.0, -1, 1)
+    wp = jnp.clip(jnp.concatenate([wp01[:, 0], wp01[:, 1], wp12[:, 0], wp12[:, 1]], -1)
+                  / 255.0, 0, 1)
+    inp = jnp.concatenate([img, fl, wp], axis=-1)
+    want = np.clip(np.asarray(fisrnet.apply(fisr_params, inp)[2], np.float32), 0, 1)
+    np.testing.assert_allclose(out, want, rtol=5e-3, atol=2e-3)
+
+
+def test_flow_fn_shapes_and_direction():
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(2), CFG)
+    flow_fn = make_flow_fn(CFG)
+    rng = np.random.default_rng(1)
+    y1 = jnp.asarray(rng.uniform(0, 255, size=(1, 24, 40, 3)).astype(np.float32))
+    y2 = jnp.asarray(rng.uniform(0, 255, size=(1, 24, 40, 3)).astype(np.float32))
+    flows = flow_fn(pwc_params, y1, y2)
+    assert flows.shape == (1, 2, 24, 40, 2)
+    assert np.isfinite(np.asarray(flows)).all()
