@@ -1,0 +1,149 @@
+"""Optical-flow visualization + extra flow file formats.
+
+Parity targets from the vendored tfoptflow:
+* `flow_to_img` — Middlebury color-wheel rendering (optflow.py:190-258):
+  hue from flow angle, saturation from magnitude normalized by the max
+  (or a fixed `normalize_max`), HSV -> RGB uint8;
+* `read_pfm` / `write_pfm` — FlyingThings-style PFM flow I/O
+  (optflow.py:65-161 handles .flo/.png/.pfm; .flo lives in data/flo.py);
+* `write_kitti_png` / `read_kitti_png` — KITTI 16-bit png flow encoding
+  (u, v scaled by 64 + 2^15, third channel validity).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+__all__ = ["flow_to_img", "read_pfm", "write_pfm", "read_kitti_png",
+           "write_kitti_png"]
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized HSV->RGB, all in [0, 1]."""
+    i = np.floor(h * 6.0).astype(int) % 6
+    f = h * 6.0 - np.floor(h * 6.0)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    rgb = np.zeros(h.shape + (3,), np.float64)
+    conds = [
+        (i == 0, (v, t, p)), (i == 1, (q, v, p)), (i == 2, (p, v, t)),
+        (i == 3, (p, q, v)), (i == 4, (t, p, v)), (i == 5, (v, p, q)),
+    ]
+    for cond, (r, g, b) in conds:
+        rgb[..., 0] = np.where(cond, r, rgb[..., 0])
+        rgb[..., 1] = np.where(cond, g, rgb[..., 1])
+        rgb[..., 2] = np.where(cond, b, rgb[..., 2])
+    return rgb
+
+
+def flow_to_img(flow: np.ndarray, normalize: bool = True,
+                flow_mag_max: float | None = None) -> np.ndarray:
+    """[H, W, 2] flow -> [H, W, 3] uint8 color-wheel image."""
+    u, v = flow[..., 0].astype(np.float64), flow[..., 1].astype(np.float64)
+    mag = np.sqrt(u * u + v * v)
+    ang = np.arctan2(v, u)  # [-pi, pi]
+    hue = (ang + np.pi) / (2.0 * np.pi)
+    if flow_mag_max is None:
+        flow_mag_max = max(np.max(mag), 1e-9)
+    sat = np.clip(mag / flow_mag_max, 0, 1) if normalize else np.clip(mag, 0, 1)
+    rgb = _hsv_to_rgb(hue, sat, np.ones_like(hue))
+    return (rgb * 255.0).astype(np.uint8)
+
+
+def write_pfm(path: str | os.PathLike, data: np.ndarray, scale: float = 1.0) -> None:
+    data = np.asarray(data, np.float32)
+    color = data.ndim == 3 and data.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(f"{-scale}\n".encode())  # little endian
+        np.flipud(data).tofile(f)
+
+
+def read_pfm(path: str | os.PathLike):
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        color = header == b"PF"
+        if header not in (b"PF", b"Pf"):
+            raise ValueError("not a PFM file")
+        dims = re.match(rb"^(\d+)\s(\d+)\s$", f.readline())
+        w, h = map(int, dims.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (h, w, 3) if color else (h, w)
+    return np.flipud(data.reshape(shape)), abs(scale)
+
+
+def _png16_write(path, img_u16: np.ndarray) -> None:
+    """Minimal 16-bit RGB PNG writer (PIL has no 16-bit RGB mode)."""
+    import struct
+    import zlib
+
+    h, w, _ = img_u16.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        out = struct.pack(">I", len(payload)) + tag + payload
+        return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)  # depth 16, RGB
+    raw = img_u16.astype(">u2").tobytes()
+    rows = b"".join(b"\x00" + raw[y * w * 6 : (y + 1) * w * 6] for y in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(rows)))
+        f.write(chunk(b"IEND", b""))
+
+
+def _png16_read(path) -> np.ndarray:
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 16 and ctype == 2, "expected 16-bit RGB"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 6 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0, "only filter 0 supported"
+        rows.append(np.frombuffer(row[1:], dtype=">u2").reshape(w, 3))
+    return np.stack(rows).astype(np.uint16)
+
+
+def write_kitti_png(path: str | os.PathLike, flow: np.ndarray,
+                    valid: np.ndarray | None = None) -> None:
+    """KITTI flow encoding: uint16 png, (u, v)*64 + 2^15, ch3 = validity."""
+    h, w = flow.shape[:2]
+    enc = np.zeros((h, w, 3), np.uint16)
+    enc[..., 0] = np.clip(flow[..., 0] * 64.0 + 2**15, 0, 65535).astype(np.uint16)
+    enc[..., 1] = np.clip(flow[..., 1] * 64.0 + 2**15, 0, 65535).astype(np.uint16)
+    enc[..., 2] = 1 if valid is None else valid.astype(np.uint16)
+    _png16_write(path, enc)
+
+
+def read_kitti_png(path: str | os.PathLike):
+    enc = _png16_read(path).astype(np.float64)
+    flow = np.stack([(enc[..., 0] - 2**15) / 64.0,
+                     (enc[..., 1] - 2**15) / 64.0], axis=-1)
+    valid = enc[..., 2].astype(bool)
+    return flow.astype(np.float32), valid

@@ -1,0 +1,115 @@
+"""Tracing / profiling hooks.
+
+The reference's only timing instrumentation is ad-hoc `time.time()` around
+sess.run calls (FISRnet.py:870-873,934-935; model_pwcnet.py:670-680). This
+module formalizes it for the TPU stack:
+
+* `trace(name)`           — wall-clock scope timer that (correctly) syncs
+                            outstanding device work before reading the clock;
+* `device_trace(logdir)`  — jax.profiler trace capture (XPlane, viewable in
+                            TensorBoard / xprof) around a scope;
+* `StepTimer`             — steps/sec + EMA for train loops (samples/sec,
+                            sec/step, ETA — model_pwcnet.py:670-680 parity);
+* `device_memory_stats()` — live HBM usage per device when the backend
+                            exposes it.
+
+NOTE on the axon relay: `block_until_ready` can return before remote
+execution finishes, so `trace`/`StepTimer.sync` force a tiny scalar
+readback when given an array — the only reliable fence there.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["trace", "device_trace", "StepTimer", "device_memory_stats", "sync"]
+
+
+def sync(x=None) -> None:
+    """Fence: make sure outstanding device work is done."""
+    if x is not None:
+        leaf = jax.tree_util.tree_leaves(x)
+        if leaf:
+            float(jnp.mean(leaf[0].astype(jnp.float32)))
+            return
+    for d in jax.devices():
+        try:
+            d.synchronize_all_activity()  # not on all backends
+        except AttributeError:
+            pass
+
+
+@contextlib.contextmanager
+def trace(name: str, result_holder: Optional[dict] = None, sync_on=None,
+          verbose: bool = True):
+    t0 = time.perf_counter()
+    yield
+    sync(sync_on)
+    dt = time.perf_counter() - t0
+    if result_holder is not None:
+        result_holder[name] = dt
+    if verbose:
+        print(f"[trace] {name}: {dt * 1e3:.2f} ms", flush=True)
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a jax.profiler device trace into `logdir`."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Throughput bookkeeping for training loops."""
+
+    def __init__(self, batch_size: int, ema: float = 0.95):
+        self.batch_size = batch_size
+        self.ema = ema
+        self._avg = None
+        self._last = None
+
+    def tick(self) -> None:
+        now = time.perf_counter()
+        if self._last is not None:
+            dt = now - self._last
+            self._avg = dt if self._avg is None else (
+                self.ema * self._avg + (1 - self.ema) * dt)
+        self._last = now
+
+    @property
+    def sec_per_step(self) -> float:
+        return self._avg or float("nan")
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self.batch_size / self._avg if self._avg else float("nan")
+
+    def eta_str(self, steps_left: int) -> str:
+        if not self._avg:
+            return "?"
+        s = int(steps_left * self._avg)
+        return f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}"
+
+
+def device_memory_stats() -> Dict[str, dict]:
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out

@@ -1,0 +1,58 @@
+"""flow viz / extra flow formats / profiling utilities."""
+
+import numpy as np
+
+from fisr_tpu.utils import flow_viz
+from fisr_tpu.utils.profiling import StepTimer, device_memory_stats, trace
+
+
+def test_flow_to_img_properties():
+    flow = np.zeros((8, 8, 2), np.float32)
+    img0 = flow_viz.flow_to_img(flow)
+    assert img0.shape == (8, 8, 3) and img0.dtype == np.uint8
+    # zero flow -> zero saturation -> white
+    assert np.all(img0 == 255)
+    # opposite directions -> different hues
+    fl = np.zeros((2, 2, 2), np.float32)
+    fl[0, :, 0] = 10.0
+    fl[1, :, 0] = -10.0
+    img = flow_viz.flow_to_img(fl)
+    assert not np.array_equal(img[0, 0], img[1, 0])
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(6, 9, 3)).astype(np.float32)
+    p = tmp_path / "t.pfm"
+    flow_viz.write_pfm(p, data)
+    back, scale = flow_viz.read_pfm(p)
+    np.testing.assert_allclose(back, data, rtol=1e-6)
+    assert scale == 1.0
+
+
+def test_kitti_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    flow = (rng.normal(size=(5, 7, 2)) * 10).astype(np.float32)
+    valid = rng.integers(0, 2, size=(5, 7)).astype(bool)
+    p = tmp_path / "k.png"
+    flow_viz.write_kitti_png(p, flow, valid)
+    back, v = flow_viz.read_kitti_png(p)
+    np.testing.assert_allclose(back, flow, atol=1 / 64.0)
+    np.testing.assert_array_equal(v, valid)
+
+
+def test_trace_and_steptimer(capsys):
+    holder = {}
+    with trace("unit", holder, verbose=False):
+        sum(range(1000))
+    assert holder["unit"] >= 0
+
+    st = StepTimer(batch_size=8)
+    st.tick()
+    st.tick()
+    assert st.sec_per_step >= 0
+    assert st.samples_per_sec > 0
+    assert ":" in st.eta_str(100)
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
