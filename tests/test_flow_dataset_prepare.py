@@ -1,0 +1,99 @@
+"""Flow dataset, TB event writer, and offline prep CLI."""
+
+import os
+
+import numpy as np
+
+from fisr_tpu.data.augment import AugmentOptions
+from fisr_tpu.data.flow_dataset import FlowDataset
+from fisr_tpu.utils.tb_writer import TBLogger, crc32c
+
+
+def test_flow_dataset_synthetic_batches():
+    ds = FlowDataset.synthetic(n=6, h=32, w=32, crop_hw=(24, 24),
+                               aug=AugmentOptions())
+    assert ds.train_size == 5 and ds.val_size == 1
+    batches = list(ds.batches(2, train=True, epoch_seed=0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["x"].shape == (2, 2, 24, 24, 3)
+    assert b["y"].shape == (2, 24, 24, 2)
+    assert b["x"].max() <= 1.0
+    vb = next(ds.batches(1, train=False))
+    assert vb["x"].shape == (1, 2, 24, 24, 3)
+
+
+def test_flow_dataset_folder_roundtrip(tmp_path):
+    from fisr_tpu.data import flo as flo_io
+    from fisr_tpu.data.png_io import write_png
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_png(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8).astype(np.uint8),
+                  tmp_path / f"s{i}_img1.png")
+        write_png(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8).astype(np.uint8),
+                  tmp_path / f"s{i}_img2.png")
+        flo_io.write_flo(rng.normal(size=(16, 16, 2)).astype(np.float32),
+                         tmp_path / f"s{i}_flow.flo")
+    ds = FlowDataset.from_folder(str(tmp_path), val_split=0.5)
+    assert ds.pairs.shape == (2, 2, 16, 16, 3)
+    assert ds.flows.shape == (2, 16, 16, 2)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_tb_logger_writes_readable_records(tmp_path):
+    lg = TBLogger(str(tmp_path))
+    lg.log_scalar("loss", 1.5, step=1)
+    lg.log_scalars({"a": 1.0, "b": 2.0}, step=2)
+    lg.log_image("img", np.zeros((4, 4, 3), np.uint8), step=3)
+    lg.close()
+    # validate TFRecord framing + crcs by re-parsing
+    import struct
+
+    from fisr_tpu.utils.tb_writer import _masked_crc
+
+    data = open(lg.path, "rb").read()
+    pos, n_records = 0, 0
+    while pos < len(data):
+        (length,) = struct.unpack("<Q", data[pos : pos + 8])
+        (hcrc,) = struct.unpack("<I", data[pos + 8 : pos + 12])
+        assert hcrc == _masked_crc(data[pos : pos + 8])
+        payload = data[pos + 12 : pos + 12 + length]
+        (pcrc,) = struct.unpack("<I", data[pos + 12 + length : pos + 16 + length])
+        assert pcrc == _masked_crc(payload)
+        pos += 16 + length
+        n_records += 1
+    assert n_records == 4  # file_version + 3 events
+
+
+def test_prepare_cli_roundtrip(tmp_path):
+    """flow-from-mat -> warp-from-mat produce reference-format artifacts."""
+    from fisr_tpu.cli.prepare import main as prep_main
+    from fisr_tpu.data import flo as flo_io
+    from fisr_tpu.data import matio
+    from fisr_tpu.data.synth import synthetic_arrays
+
+    a = synthetic_arrays(n_samples=1, h=32, w=32)
+    mat = str(tmp_path / "lr.mat")
+    matio.write_train_mat(mat, "LR_data", a["lr"])
+    flo_out = str(tmp_path / "f.flo")
+    prep_main(["flow-from-mat", "--mat", mat, "--ss", "1", "--out", flo_out])
+    flows = flo_io.read_flo_5dim(flo_out)
+    assert flows.shape == (1, 8, 32, 32, 2)
+
+    warp_out = str(tmp_path / "w.mat")
+    prep_main(["warp-from-mat", "--mat", mat, "--flo", flo_out, "--ss", "1",
+               "--out", warp_out])
+    warps = matio.read_warp_mat(warp_out)
+    assert warps.shape == (1, 8, 32, 32, 3)
+    assert 0.0 <= warps.min() and warps.max() <= 1.0
+
+    # stride-2 variant
+    flo2 = str(tmp_path / "f2.flo")
+    prep_main(["flow-from-mat", "--mat", mat, "--ss", "2", "--out", flo2])
+    assert flo_io.read_flo_5dim(flo2).shape == (1, 4, 32, 32, 2)
