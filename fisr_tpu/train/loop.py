@@ -80,9 +80,13 @@ def fit(
         print(f" [*] resumed from step {int(state.step)} (epoch {start_epoch})")
 
     metrics_path = None
+    tb = None
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
         metrics_path = os.path.join(log_dir, "metrics.jsonl")
+        from fisr_tpu.utils.tb_writer import TBLogger
+
+        tb = TBLogger(log_dir)
 
     t_start = time.time()
     for epoch in range(start_epoch, epochs):
@@ -116,6 +120,8 @@ def fit(
             with open(metrics_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, "step": int(state.step),
                                     **epoch_means, **val_means}) + "\n")
+        if tb is not None:
+            tb.log_scalars({**epoch_means, **val_means}, int(state.step))
         mgr.save(int(state.step),
                  {"params": state.params, "opt_state": state.opt_state,
                   "step": state.step},
