@@ -27,7 +27,8 @@ from fisr_tpu.ops.conv import F32, Policy
 from fisr_tpu.train.pwc_loss import epe, pwcnet_loss
 from fisr_tpu.train.trainer import TrainState
 
-__all__ = ["create_pwc_state", "make_pwc_train_step", "make_pwc_eval_step"]
+__all__ = ["create_pwc_state", "make_pwc_train_step", "make_pwc_eval_step",
+           "pwc_fit"]
 
 
 def create_pwc_state(rng, optimizer: optax.GradientTransformation,
@@ -67,3 +68,50 @@ def make_pwc_eval_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
         return {"epe": epe(flow_pred, batch["y"])}
 
     return jax.jit(eval_fn)
+
+
+def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
+            val_every: int = 1000, display_every: int = 100,
+            schedule_fn=None, cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
+            policy: Policy = F32, loss_mode: str = "multiscale",
+            max_to_keep: int = 10, seed: int = 0) -> TrainState:
+    """Step-driven training loop (model_pwcnet.py:587-788 parity: periodic
+    display/val, BestCheckpointSaver-style top-k retention ranked by EPE)."""
+    import itertools
+    import time
+
+    from fisr_tpu.train import schedule as sched
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    schedule_fn = schedule_fn or sched.multisteps(
+        [1e-4, 5e-5, 2.5e-5, 1.25e-5, 6.25e-6, 3.125e-6],
+        [400000, 600000, 800000, 1000000, 1200000])
+    opt = optax.adam(schedule_fn)
+    state = create_pwc_state(jax.random.PRNGKey(seed), opt, cfg)
+    step_fn = make_pwc_train_step(opt, cfg, policy, loss_mode)
+    eval_fn = make_pwc_eval_step(cfg, policy)
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep, best_mode="min")
+
+    def epochs():
+        for ep in itertools.count():
+            yield from dataset.batches(batch_size, train=True, epoch_seed=seed + ep)
+
+    t0 = time.time()
+    for i, batch in enumerate(epochs()):
+        if i >= steps:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, m = step_fn(state, batch)
+        if i % display_every == 0:
+            print(f"step {i}/{steps} loss {float(m['loss']):.4f} "
+                  f"({(time.time() - t0) / 60:.1f} min)", flush=True)
+        if (i + 1) % val_every == 0 or i + 1 == steps:
+            epes = [float(eval_fn(state.params,
+                                  {k: jnp.asarray(v) for k, v in vb.items()})["epe"])
+                    for vb in dataset.batches(batch_size, train=False)]
+            val_epe = sum(epes) / max(len(epes), 1)
+            print(f"step {i + 1}: val EPE {val_epe:.4f}", flush=True)
+            mgr.save(int(state.step),
+                     {"params": state.params, "opt_state": state.opt_state,
+                      "step": state.step}, metric=val_epe)
+    return state

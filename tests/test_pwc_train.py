@@ -83,3 +83,17 @@ def test_augment_flow_consistency():
     xa, ya = augment_pair(x, y, opts, rng)
     shift = ya - y
     assert np.allclose(shift, shift[0, 0])  # uniform offset
+
+
+def test_pwc_fit_end_to_end(tmp_path):
+    from fisr_tpu.data.flow_dataset import FlowDataset
+    from fisr_tpu.train.pwc_trainer import pwc_fit
+    from fisr_tpu.train import schedule
+
+    ds = FlowDataset.synthetic(n=6, h=32, w=32, val_split=0.34)
+    state = pwc_fit(ds, str(tmp_path / "ck"), steps=4, batch_size=2,
+                    val_every=4, display_every=2, cfg=CFG,
+                    schedule_fn=schedule.no_decay(1e-4))
+    assert int(state.step) == 4
+    import glob
+    assert glob.glob(str(tmp_path / "ck" / "step_*"))
