@@ -59,7 +59,11 @@ def fit(
     policy: Policy = F32,
     seed: int = 0,
     resume: bool = True,
+    mesh=None,
 ) -> TrainState:
+    """If `mesh` is given, batches are sharded over its 'data' axis and
+    params replicated — multi-chip DP with zero further changes (XLA inserts
+    the gradient psum over ICI)."""
     iters = store.num_batches(batch_size)
     schedule_fn = build_schedule(lr_type, init_lr, iters, epochs,
                                  lr_stair_decay_points, lr_decreasing_factor,
@@ -88,11 +92,19 @@ def fit(
 
         tb = TBLogger(log_dir)
 
+    if mesh is not None:
+        from fisr_tpu.core.mesh import replicated, shard_batch
+
+        state = jax.device_put(state, replicated(mesh))
+
     t_start = time.time()
     for epoch in range(start_epoch, epochs):
         sums, count = {}, 0
         for idx, batch in enumerate(store.batches(batch_size, epoch_seed=seed + epoch)):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, m = step_fn(state, batch)
             count += 1
             for k, v in m.items():
