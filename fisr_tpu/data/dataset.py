@@ -71,20 +71,23 @@ class TrainStore:
                 shard_index: int = 0, shard_count: int = 1) -> Iterator[Batch]:
         """Shuffled epoch of train batches (per-epoch permutation like
         FISRnet.py:628); optional contiguous sharding for multi-host DP."""
+        from fisr_tpu.native import gather_rows
+
         rng = np.random.default_rng(epoch_seed)
         perm = rng.permutation(self.train_size)
         n = self.num_batches(batch_size)
         lo = (n // shard_count) * shard_index
         hi = (n // shard_count) * (shard_index + 1) if shard_index < shard_count - 1 else n
         for i in range(lo, hi):
-            idx = perm[batch_size * i : batch_size * (i + 1)]
+            idx = perm[batch_size * i : batch_size * (i + 1)].astype(np.int64)
+            # threaded native memcpy gather when the C++ runtime is built
             yield {
-                "data": self._split(self.data, False)[idx],
-                "label": self._split(self.label, False)[idx],
-                "flow": self._split(self.flow, False)[idx],
-                "flow_ss2": self._split(self.flow_ss2, False)[idx],
-                "warp": self._split(self.warp, False)[idx],
-                "warp_ss2": self._split(self.warp_ss2, False)[idx],
+                "data": gather_rows(self._split(self.data, False), idx),
+                "label": gather_rows(self._split(self.label, False), idx),
+                "flow": gather_rows(self._split(self.flow, False), idx),
+                "flow_ss2": gather_rows(self._split(self.flow_ss2, False), idx),
+                "warp": gather_rows(self._split(self.warp, False), idx),
+                "warp_ss2": gather_rows(self._split(self.warp_ss2, False), idx),
             }
 
     def val_batches(self, batch_size: int) -> Iterator[Batch]:

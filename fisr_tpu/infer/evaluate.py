@@ -27,10 +27,12 @@ import numpy as np
 
 from fisr_tpu.data import flo as flo_io
 from fisr_tpu.data import matio
-from fisr_tpu.data.png_io import list_pngs, read_png, write_png
+from fisr_tpu.data.png_io import list_pngs
+from fisr_tpu.native import decode_png as read_png
+from fisr_tpu.native import encode_png
+from fisr_tpu.native import yuv2rgb_matlab_u8 as native_yuv2rgb
 from fisr_tpu.infer.tiled import TiledRunner
 from fisr_tpu.ops import metrics as M
-from fisr_tpu.ops.color import yuv2rgb_matlab_u8
 
 N_IN_SEQ = 3
 N_TEST_IN_SEQ = 5
@@ -121,8 +123,8 @@ def evaluate_test_set(
                 for s in range(N_GT_SEQ):
                     name = os.path.basename(
                         label_paths[scene_i * n_label_seq + sample_i * 2 + s])[3:]
-                    rgb = yuv2rgb_matlab_u8(pred_u8[:, :, 3 * s : 3 * (s + 1)])
-                    write_png(rgb, os.path.join(out_dir, f"pred_{name}"))
+                    rgb = native_yuv2rgb(pred_u8[:, :, 3 * s : 3 * (s + 1)])
+                    encode_png(rgb, os.path.join(out_dir, f"pred_{name}"))
 
             if verbose:
                 print(f" <Test> scene {scene_i}-{sample_i}: PSNR fr1 (VFI-SR) "

@@ -68,6 +68,10 @@ def test_train_phase_then_autotest(workdir):
 
 
 def test_test_phase_restores_checkpoint(workdir, capsys):
+    # self-sufficient when run in isolation: ensure a checkpoint exists
+    if not glob.glob(str(workdir["root"] / "ckpt" / "FISRnet_exp1" / "step_*")):
+        cli_main(["--phase", "train"] + _common_args(workdir))
+        capsys.readouterr()
     cli_main(["--phase", "test"] + _common_args(workdir))
     out = capsys.readouterr().out
     assert "restored checkpoint" in out
