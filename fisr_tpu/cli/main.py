@@ -84,6 +84,9 @@ def parse_args(argv=None):
     p.add_argument("--FISR_input_size", type=int, nargs=2, default=[1080, 1920])
     p.add_argument("--frame_num", type=int, default=5)
     p.add_argument("--FISR_test_patch", type=int, nargs=2, default=[2, 2])
+    p.add_argument("--fused", action="store_true",
+                   help="run the video phase as one fused on-device program "
+                        "per window (no .flo/.mat round-trip, no tiling)")
 
     args = p.parse_args(argv)
     for d in (args.checkpoint_dir, args.text_dir, args.log_dir, args.test_img_dir):
@@ -178,7 +181,8 @@ def run_video(args):
     return run_video_pipeline(
         params, pwc_params, args.frame_folder_path,
         grid=tuple(args.FISR_test_patch), policy=_policy(args),
-        write_artifacts=True, frame_num=args.frame_num,
+        write_artifacts=not args.fused, frame_num=args.frame_num,
+        fused=args.fused,
     )
 
 

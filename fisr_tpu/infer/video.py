@@ -158,11 +158,15 @@ def run_video_pipeline(
     write_artifacts: bool = False,
     frame_num: Optional[int] = None,
     verbose: bool = True,
+    fused: bool = False,
 ):
     """Full FISR_for_video over a folder of YUV PNGs.
 
     Returns list of output PNG paths. If write_artifacts, also writes the
     reference-format .flo / .mat intermediates into the frame folder.
+    fused=True runs each window through the single-program
+    flow->warp->FISRnet step (full-frame, no tiling) instead of the staged
+    path — the production device-resident mode.
     """
     paths = list_pngs(frame_folder)
     if frame_num is not None:
@@ -174,6 +178,29 @@ def run_video_pipeline(
     os.makedirs(out_folder, exist_ok=True)
 
     frames = np.stack([read_png(p) for p in paths]).astype(np.float32)  # YUV u8
+
+    if fused:
+        h0, w0 = frames.shape[1], frames.shape[2]
+        h = h0 - h0 % 32
+        w = w0 - w0 % 32
+        step = make_fused_video_step(policy=policy)
+        digits = math.ceil(math.log10(2 * (n - 1)))
+        out_paths = []
+        for fr in range(n - 2):
+            window = jnp.asarray(frames[None, fr : fr + 3, :h, :w])
+            pred = np.asarray(step(fisr_params, pwc_params, window)[0])
+            pred_u8 = np.uint8(pred * 255)
+            for s in range(3):
+                idx = str(fr * 2 + s).zfill(digits)
+                rgb = yuv2rgb_matlab_u8(pred_u8[:, :, 3 * s : 3 * s + 3])
+                p_rgb = os.path.join(out_folder, f"pred_{idx}.png")
+                write_png(rgb, p_rgb)
+                write_png(pred_u8[:, :, 3 * s : 3 * s + 3],
+                          os.path.join(out_folder, f"pred_YUV_{idx}.png"))
+                out_paths.append(p_rgb)
+            if verbose:
+                print(f"<FISR fused> window [{fr + 1}/{n - 2}]", flush=True)
+        return out_paths
 
     # stage 1+2: flows + warped middle frames for each adjacent pair
     flow_fn = make_flow_fn(policy=policy)

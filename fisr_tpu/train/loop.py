@@ -134,6 +134,24 @@ def fit(
                                     **epoch_means, **val_means}) + "\n")
         if tb is not None:
             tb.log_scalars({**epoch_means, **val_means}, int(state.step))
+            # image summaries (YUV, like FISRnet.py:555-565): first val
+            # sample's merged prediction vs GT
+            try:
+                from fisr_tpu.ops.seq import groups_to_overlap, split_seq_dim
+                from fisr_tpu.train.trainer import forward_windows
+
+                vb = next(store.val_batches(1))
+                vb = {k: jnp.asarray(v) for k, v in vb.items()}
+                groups, _ = forward_windows(state.params, vb, policy,
+                                            with_ss2=False)
+                pred = groups_to_overlap(groups[0])[0, 3]
+                gt = split_seq_dim(vb["label"])[0, 3]
+                to_u8 = lambda a: np.uint8(np.clip(np.asarray(a, np.float32),
+                                                   0, 1) * 255)
+                tb.log_image("Seq3_Pred", to_u8(pred), int(state.step))
+                tb.log_image("Seq3_GT", to_u8(gt), int(state.step))
+            except StopIteration:
+                pass
         mgr.save(int(state.step),
                  {"params": state.params, "opt_state": state.opt_state,
                   "step": state.step},

@@ -50,3 +50,23 @@ def test_flow_fn_shapes_and_direction():
     flows = flow_fn(pwc_params, y1, y2)
     assert flows.shape == (1, 2, 24, 40, 2)
     assert np.isfinite(np.asarray(flows)).all()
+
+
+def test_fused_cli_video_phase(tmp_path):
+    from fisr_tpu.cli.main import main as cli_main
+    from fisr_tpu.data.synth import write_synthetic_video_folder
+    import glob, os
+
+    folder = write_synthetic_video_folder(str(tmp_path / "vid"), n_frames=3,
+                                          h=32, w=32)
+    cli_main([
+        "--phase", "FISR_for_video", "--fused", "--compute_dtype", "float32",
+        "--frame_folder_path", folder, "--FISR_input_size", "32", "32",
+        "--frame_num", "3",
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--log_dir", str(tmp_path / "log"),
+        "--text_dir", str(tmp_path / "txt"),
+        "--test_img_dir", str(tmp_path / "imgs"),
+    ])
+    outs = glob.glob(os.path.join(folder, "FISR_frames", "pred_[0-9]*.png"))
+    assert len(outs) == 3
