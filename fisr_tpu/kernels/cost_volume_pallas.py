@@ -81,27 +81,26 @@ def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
     c2_t = jnp.pad(jnp.transpose(c2, (0, 1, 3, 2)),
                    ((0, 0), (d, d), (0, cp - c), (d, w2p - w - d)))
 
-    # tile height: a multiple-of-8 divisor of h (Mosaic block rule) keeping
-    # c1+c2+out tiles within ~10MB of VMEM; falls back to whole-h blocks
+    # tile height: any multiple of 8 (Mosaic block rule) keeping c1+c2+out
+    # tiles within budget; h is zero-padded up to a th multiple and the
+    # extra rows sliced off after (zero c1 rows produce zero cost).
     # pallas double-buffers the c1/out blocks, so the working set is ~2x the
     # block bytes: budget well under half of the 16MB VMEM
     budget = 5 * 1024 * 1024
     per_row = (2 * cp + n * n) * w2p * dtype.itemsize
     halo_bytes = 2 * d * cp * w2p * dtype.itemsize
-    candidates = [t for t in range(8, h + 1, 8) if h % t == 0]
-    fitting = [t for t in candidates if t * per_row + halo_bytes <= budget]
-    if fitting:
-        th = max(fitting)
-    elif candidates:
-        th = min(candidates)
-    else:
-        th = h
+    th = max(8, (budget - halo_bytes) // per_row // 8 * 8)
+    th = min(th, h + (-h) % 8)
+    h_pad = -(-h // th) * th
+    if h_pad > h:
+        c1_t = jnp.pad(c1_t, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+        c2_t = jnp.pad(c2_t, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
 
-    grid = (b, h // th)
+    grid = (b, h_pad // th)
     kernel = functools.partial(_kernel, th=th, c=c, w=w, d=d)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n * n, h, w2p), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n * n, h_pad, w2p), dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, cp, w2p), lambda bi, i: (bi, i, 0, 0),
@@ -116,4 +115,4 @@ def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
         ],
         interpret=interpret,
     )(c1_t, c2_t)
-    return jnp.transpose(out[:, :, :, d : d + w], (0, 2, 3, 1))
+    return jnp.transpose(out[:, :, :h, d : d + w], (0, 2, 3, 1))

@@ -17,12 +17,14 @@ and (for C=64) a half-empty MXU N dimension. This kernel:
 Weights are passed pre-reshaped as [9C, C] (tap-major, HWIO flattened).
 
 STATUS — correct but not yet faster than XLA. Measured on v5e (2K frame,
-C=64, bf16): this kernel 49 ms vs XLA's two-conv composition 20 ms (XLA
-reaches ~30 TFLOP/s at favorable tile geometry, close to the ~38 TFLOP/s
-ceiling that N=64 MXU lane padding imposes on any schedule). The gap is
-serial DMA (no double buffering yet) and per-program im2col relayout copies.
-Kept as the starting point for a pipelined rewrite; the model path uses the
-XLA composition until this wins.
+C=64, bf16): 49 ms serial-DMA, 45 ms with the double-buffered prefetch now
+in place, vs XLA's two-conv composition at 20 ms (XLA reaches ~30 TFLOP/s at
+favorable tile geometry, close to the ~38 TFLOP/s ceiling that N=64 MXU lane
+padding imposes on any schedule). Double-buffering only bought 8%, so the
+bottleneck is in-kernel: the 9-slice im2col concat relayouts. Next step
+(PERF.md): restructure the conv as 3 row-grouped [M, 192] matmuls or find a
+layout where the taps are free. The model path uses the XLA composition
+until this wins.
 """
 
 from __future__ import annotations
@@ -42,19 +44,43 @@ def _kernel(x_hbm, w0_ref, b0_ref, w1_ref, b1_ref, out_ref, xs, sem,
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    gi = pl.num_programs(1)
+    gj = pl.num_programs(2)
 
     # Mosaic slice rules for the (8, 128)-tiled layout: the W slice must be
     # 8-aligned (input pre-padded 2 left / 6 right, tw % 8 == 0) and the lane
     # (channel) dim can only be sliced at full 128 granularity — so the
     # input is channel-padded to a 128 multiple outside and sliced back to
     # the logical C as a value op after the load.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 4), pl.ds(j * tw, tw + 8), :], xs, sem
-    )
-    dma.start()
-    dma.wait()
+    #
+    # Double-buffered prefetch: program k waits on slot k%2 and starts the
+    # DMA for tile k+1 into slot (k+1)%2 — the scratch and semaphores persist
+    # across grid steps, so the next tile streams in behind the compute.
+    k = (b * gi + i) * gj + j
+    total = pl.num_programs(0) * gi * gj
+    slot = jax.lax.rem(k, 2)
+    nxt = jax.lax.rem(k + 1, 2)
 
-    x = xs[...][:, : tw + 4, :c]  # (TH+4, TW+4, C) bf16
+    def tile_dma(kk, s):
+        bb = kk // (gi * gj)
+        ii = jax.lax.rem(kk // gj, gi)
+        jj = jax.lax.rem(kk, gj)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th + 4), pl.ds(jj * tw, tw + 8), :],
+            xs.at[s], sem.at[s],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        tile_dma(k, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        tile_dma(k + 1, nxt).start()
+
+    tile_dma(k, slot).wait()
+
+    x = xs[slot][:, : tw + 4, :c]  # (TH+4, TW+4, C) bf16
     xr = jnp.maximum(x, 0.0)
 
     # conv0 over the (TH+2, TW+2) region that conv1 needs (1-px halo kept)
@@ -125,8 +151,8 @@ def res_block_fused(x: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, tw + 8, c + c_pad), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 4, tw + 8, c + c_pad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w0f, b0, w1f, b1)
