@@ -27,6 +27,44 @@ from fisr_tpu.ops.conv import F32, Policy
 __all__ = ["make_device_runner"]
 
 
+def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
+                boundary: int = 32, sf: int = 2, policy: Policy = F32) -> jnp.ndarray:
+    """In-jit padded tiling body (traceable; used by runners + fused video).
+
+    Zero-pads only grid-split axes, batches the patch grid into one FISRnet
+    apply, trims and reassembles — all inside the caller's trace.
+    """
+    gh, gw = grid
+    b, h, w, _c = x.shape
+    s_h, s_w = h // gh, w // gw
+    bh = boundary if gh > 1 else 0
+    bw = boundary if gw > 1 else 0
+    xp = jnp.pad(x, ((0, 0), (bh, bh), (bw, bw), (0, 0)))
+    patches = [
+        xp[:, ph * s_h : (ph + 1) * s_h + 2 * bh,
+           pw * s_w : (pw + 1) * s_w + 2 * bw, :]
+        for ph in range(gh) for pw in range(gw)
+    ]
+    pred = fisrnet.apply(params, jnp.concatenate(patches, 0), sf, policy)[2]
+    th, tw = bh * sf, bw * sf
+    rows = []
+    for ph in range(gh):
+        row = [
+            pred[(ph * gw + pw) * b : (ph * gw + pw + 1) * b,
+                 th : th + s_h * sf, tw : tw + s_w * sf, :]
+            for pw in range(gw)
+        ]
+        rows.append(jnp.concatenate(row, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 4)):
+    """Largest valid grid <= target whose patches stay 32-multiples."""
+    gh = max(g for g in range(1, target[0] + 1) if h % (32 * g) == 0)
+    gw = max(g for g in range(1, target[1] + 1) if w % (32 * g) == 0)
+    return gh, gw
+
+
 def make_device_runner(mode: str = "full", grid: Tuple[int, int] = (2, 2),
                        boundary: int = 32, sf: int = 2, policy: Policy = F32):
     """Returns jitted fn(params, x [B,h,w,29]) -> [B, h*sf, w*sf, 9] (device)."""
@@ -40,29 +78,5 @@ def make_device_runner(mode: str = "full", grid: Tuple[int, int] = (2, 2),
     if mode != "tiled":
         raise ValueError(mode)
 
-    gh, gw = grid
-
-    def run_tiled(params, x):
-        b, h, w, _c = x.shape
-        s_h, s_w = h // gh, w // gw
-        bh = boundary if gh > 1 else 0
-        bw = boundary if gw > 1 else 0
-        xp = jnp.pad(x, ((0, 0), (bh, bh), (bw, bw), (0, 0)))
-        patches = [
-            xp[:, ph * s_h : (ph + 1) * s_h + 2 * bh,
-               pw * s_w : (pw + 1) * s_w + 2 * bw, :]
-            for ph in range(gh) for pw in range(gw)
-        ]
-        pred = fisrnet.apply(params, jnp.concatenate(patches, 0), sf, policy)[2]
-        th, tw = bh * sf, bw * sf
-        rows = []
-        for ph in range(gh):
-            row = [
-                pred[(ph * gw + pw) * b : (ph * gw + pw + 1) * b,
-                     th : th + s_h * sf, tw : tw + s_w * sf, :]
-                for pw in range(gw)
-            ]
-            rows.append(jnp.concatenate(row, axis=2))
-        return jnp.concatenate(rows, axis=1)
-
-    return jax.jit(run_tiled)
+    return jax.jit(lambda params, x: tiled_apply(params, x, grid, boundary,
+                                                 sf, policy))

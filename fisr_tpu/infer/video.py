@@ -104,7 +104,8 @@ def make_warp_fn():
 
 
 def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
-                          policy: Policy = F32, upscale: int = 2, sf: int = 2):
+                          policy: Policy = F32, upscale: int = 2, sf: int = 2,
+                          fisr_grid=None):
     """ONE jitted program for a full FISR window: bidirectional PWC flow for
     both frame pairs -> +0.5-flow middle-frame warps -> full-frame FISRnet.
 
@@ -114,7 +115,9 @@ def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
     -> [B, h*sf, w*sf, 9] YUV in [0, 1] ([fr1, SR, fr2]).
 
     h, w must be multiples of 32 (FISRnet) — the pipeline pads internally
-    for PWC's 64-multiple requirement.
+    for PWC's 64-multiple requirement. fisr_grid (e.g. (4, 4) or 'auto')
+    routes the FISRnet stage through in-jit padded tiling, which on v5e is
+    substantially faster than full-frame at 2K (see PERF.md).
     """
     from fisr_tpu.models import fisrnet
 
@@ -141,7 +144,13 @@ def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
         ) / 255.0
         wp = jnp.clip(wp, 0.0, 1.0)
         inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
-        pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
+        if fisr_grid is not None:
+            from fisr_tpu.infer.device import best_grid, tiled_apply
+
+            grid = (best_grid(h, w) if fisr_grid == "auto" else fisr_grid)
+            pred = tiled_apply(fisr_params, inp, grid, 32, sf, policy)
+        else:
+            pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
         return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
 
     return jax.jit(step)
