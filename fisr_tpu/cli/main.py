@@ -135,6 +135,12 @@ def run_train(args):
         for k, v in vars(args).items():
             log.write(f"{k} : {v}\n")
 
+    from fisr_tpu.models import fisrnet
+    from fisr_tpu.utils.summary import print_params
+    import jax as _jax
+
+    print_params(fisrnet.init_params(_jax.random.PRNGKey(0)), name="FISRnet")
+
     store = TrainStore.from_files(
         args.train_data_path, args.train_label_path, args.train_flow_data_path,
         args.train_flow_ss2_data_path, args.train_warped_data_path,

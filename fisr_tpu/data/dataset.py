@@ -13,7 +13,7 @@ store (shard_index/shard_count) — the TPU-native replacement for feed_dict.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

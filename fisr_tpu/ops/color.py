@@ -43,7 +43,28 @@ _T_FWD = np.array(
 _M_RGB2YUV = (_T_FWD / 255.0).astype(np.float32)  # [3(yuv), 3(rgb)]
 _B_RGB2YUV = _OFFSET_YUV.astype(np.float32)
 
-__all__ = ["yuv2rgb_matlab", "rgb2yuv_matlab", "yuv2rgb_matlab_u8"]
+__all__ = ["yuv2rgb_matlab", "rgb2yuv_matlab", "yuv2rgb_matlab_u8",
+           "yuv2rgb_float"]
+
+# utils.py:94-103 YUV2RGB — the alternative float-constant variant (the
+# MATLAB matrix pre-multiplied out; unclipped). Kept for inventory parity;
+# the save paths all use the matlab variant.
+_M_YUV2RGB_FLOAT = np.array(
+    [
+        [1.0, -0.000007154783816076815, 1.4019975662231445],
+        [1.0, -0.3441331386566162, -0.7141380310058594],
+        [1.0, 1.7720025777816772, 0.00001542569043522235],
+    ],
+    dtype=np.float32,
+)
+_B_YUV2RGB_FLOAT = np.array(
+    [179.45477266423404, -135.45870971679688, 226.8183044444304], np.float32
+)
+
+
+def yuv2rgb_float(yuv: jnp.ndarray) -> jnp.ndarray:
+    """utils.py:94-103 parity (note: NOT clipped, unlike the matlab one)."""
+    return _apply_3x3(yuv, _M_YUV2RGB_FLOAT, _B_YUV2RGB_FLOAT, -1.0)
 
 
 def _apply_3x3(x: jnp.ndarray, m: np.ndarray, b: np.ndarray, sign: float) -> jnp.ndarray:

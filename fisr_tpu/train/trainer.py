@@ -19,8 +19,7 @@ all-reduce (psum) over ICI. No NCCL/MPI analog needed.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

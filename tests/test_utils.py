@@ -56,3 +56,27 @@ def test_trace_and_steptimer(capsys):
 
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_param_summary_and_float_color():
+    import jax
+    from fisr_tpu.models import fisrnet
+    from fisr_tpu.utils.summary import print_params
+    from fisr_tpu.ops.color import yuv2rgb_float
+
+    params = fisrnet.init_params(jax.random.PRNGKey(0))
+    total = print_params(params, max_depth=1)
+    assert total == 48_316_251
+
+    # utils.py:94-103 numpy twin
+    rng = np.random.default_rng(0)
+    yuv = rng.uniform(0, 255, (4, 5, 3))
+    m = np.array([[1.0, 1.0, 1.0],
+                  [-0.000007154783816076815, -0.3441331386566162, 1.7720025777816772],
+                  [1.4019975662231445, -0.7141380310058594, 0.00001542569043522235]])
+    want = np.dot(yuv, m)
+    want[:, :, 0] -= 179.45477266423404
+    want[:, :, 1] += 135.45870971679688
+    want[:, :, 2] -= 226.8183044444304
+    got = np.asarray(yuv2rgb_float(yuv))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
