@@ -83,26 +83,32 @@ def evaluate_test_set(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
+    n_windows = N_TEST_IN_SEQ - N_IN_SEQ + 1
     for scene_i in range(n_scenes):
-        for sample_i in range(N_TEST_IN_SEQ - N_IN_SEQ + 1):
-            img = np.concatenate(
-                [read_png(data_paths[scene_i * N_TEST_IN_SEQ + sample_i + s])
-                 for s in range(N_IN_SEQ)], axis=2)[:h, :w]
+        # all 3 sliding windows of the scene ride the batch axis of ONE
+        # tiled call (the reference ran a sess.run per patch per window)
+        scene_frames = [read_png(data_paths[scene_i * N_TEST_IN_SEQ + s])[:h, :w]
+                        for s in range(N_TEST_IN_SEQ)]
+        windows = []
+        for sample_i in range(n_windows):
+            img = np.concatenate(scene_frames[sample_i : sample_i + N_IN_SEQ], 2)
+            img = np.clip(img.astype(np.float64) / 255.0, 0, 1)
+            fl = flow[scene_i, :h, :w, 4 * sample_i : 4 * sample_i + 8] / flow_norm
+            fl = np.clip(fl, -1, 1)
+            wp = np.clip(warp[scene_i, :h, :w, 6 * sample_i : 6 * sample_i + 12], 0, 1)
+            windows.append(np.concatenate([img, fl, wp], axis=2))
+        inp = np.stack(windows).astype(np.float32)
+
+        t0 = time.time()
+        preds = np.clip(runner(inp), 0, 1)
+        inf_time.append((time.time() - t0) / n_windows)
+
+        for sample_i in range(n_windows):
+            pred = preds[sample_i]
             label = np.concatenate(
                 [read_png(label_paths[scene_i * n_label_seq + sample_i * 2 + s])
                  for s in range(N_GT_SEQ)], axis=2)[: h * sf, : w * sf]
-
-            img = np.clip(img.astype(np.float64) / 255.0, 0, 1)[None]
             label = np.clip(label.astype(np.float64) / 255.0, 0, 1)
-
-            fl = flow[scene_i, :h, :w, 4 * sample_i : 4 * sample_i + 8] / flow_norm
-            fl = np.clip(fl, -1, 1)[None]
-            wp = np.clip(warp[scene_i, :h, :w, 6 * sample_i : 6 * sample_i + 12], 0, 1)[None]
-            inp = np.concatenate([img, fl, wp], axis=3).astype(np.float32)
-
-            t0 = time.time()
-            pred = np.clip(runner(inp)[0], 0, 1)
-            inf_time.append(time.time() - t0)
 
             frame_psnr, frame_ssim = [], []
             for s in range(N_GT_SEQ):
