@@ -22,7 +22,7 @@ __all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus",
            "write_synthetic_test_set", "write_synthetic_video_folder"]
 
 
-def _scene(rng, n_frames: int, h: int, w: int) -> np.ndarray:
+def _scene(rng, n_frames: int, h: int, w: int, return_motion: bool = False):
     """Moving smooth pattern, [n_frames, h, w, 3] in [0, 255]."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     fx, fy = rng.uniform(0.02, 0.08, 2)
@@ -35,7 +35,8 @@ def _scene(rng, n_frames: int, h: int, w: int) -> np.ndarray:
             for c in range(3)
         ]
         frames.append(np.stack(chans, -1))
-    return np.stack(frames).astype(np.float32)
+    out = np.stack(frames).astype(np.float32)
+    return (out, (vx, vy)) if return_motion else out
 
 
 def synthetic_arrays(n_samples: int = 8, h: int = 96, w: int = 96, seed: int = 0):
@@ -50,13 +51,17 @@ def synthetic_arrays(n_samples: int = 8, h: int = 96, w: int = 96, seed: int = 0
     warp = np.zeros((n_samples, 8, h, w, 3), np.float32)
     warp_ss2 = np.zeros((n_samples, 4, h, w, 3), np.float32)
     for i in range(n_samples):
-        hi = _scene(rng, 9, 2 * h, 2 * w)  # 9 HR half-step frames
+        hi, (vx, vy) = _scene(rng, 9, 2 * h, 2 * w, return_motion=True)
         hr[i] = hi[1:8]
         lr[i] = hi[::2][:, ::2, ::2]  # every other frame, subsampled 2x
-        fl = rng.uniform(-3, 3, (8, 1, 1, 2)).astype(np.float32)
-        flow[i] = np.broadcast_to(fl, (8, h, w, 2))
-        fl2 = rng.uniform(-5, 5, (4, 1, 1, 2)).astype(np.float32)
-        flow_ss2[i] = np.broadcast_to(fl2, (4, h, w, 2))
+        # TRUE motion: the HR pattern translates (vx, vy) px per half-step;
+        # one LR frame step = 2 half-steps at half resolution -> (vx, vy)
+        # LR px forward, mirrored backward (physically consistent labels)
+        fwd = np.array([vx, vy], np.float32)
+        flow[i, 0::2] = fwd
+        flow[i, 1::2] = -fwd
+        flow_ss2[i, 0::2] = 2 * fwd
+        flow_ss2[i, 1::2] = -2 * fwd
         warp[i] = lr[i, [0, 1, 1, 2, 2, 3, 3, 4]]  # frame-adjacent stand-ins
         warp_ss2[i] = lr[i, [0, 2, 2, 4]]
     return {
