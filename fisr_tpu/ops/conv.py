@@ -69,7 +69,13 @@ def init_res_block(rng, c: int, dtype=jnp.float32) -> Params:
 
 def conv2d(p: Params, x: jnp.ndarray, policy: Policy = F32, *, stride: int = 1,
            dilation: int = 1) -> jnp.ndarray:
-    """SAME conv, NHWC x HWIO -> NHWC, f32 MXU accumulation."""
+    """SAME conv, NHWC x HWIO -> NHWC.
+
+    The conv's preferred_element_type matches the compute dtype: the TPU MXU
+    accumulates bf16 products in f32 internally either way, and requesting a
+    wider output dtype would make reverse-mode feed an f32 cotangent to a
+    bf16-kernel transpose conv (mixed-dtype error).
+    """
     w = p["w"].astype(policy.compute_dtype)
     out = jax.lax.conv_general_dilated(
         policy.cast(x),
@@ -78,10 +84,9 @@ def conv2d(p: Params, x: jnp.ndarray, policy: Policy = F32, *, stride: int = 1,
         padding="SAME",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=policy.compute_dtype,
     )
-    out = out + p["b"].astype(jnp.float32)
-    return out.astype(policy.compute_dtype)
+    return out + p["b"].astype(policy.compute_dtype)
 
 
 def res_block(p: Params, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray:
@@ -91,10 +96,13 @@ def res_block(p: Params, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray:
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 max pool, SAME padding (parity: ops.py:54)."""
+    """2x2/2 max pool, SAME padding (parity: ops.py:54).
+
+    Init must be exactly -inf (the max monoid identity) — XLA only provides
+    the reverse-mode rule for that form, and bf16 represents inf fine.
+    """
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME",
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME",
     )
 
 
