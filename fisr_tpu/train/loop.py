@@ -27,7 +27,33 @@ from fisr_tpu.train.losses import LossWeights
 from fisr_tpu.train.trainer import (TrainState, adam_with_schedule,
                                     create_state, make_train_step, make_val_step)
 
-__all__ = ["fit"]
+__all__ = ["fit", "prefetch_to_device"]
+
+
+def prefetch_to_device(batch_iter, size: int = 2, sharding=None):
+    """Async host->device batch prefetch.
+
+    `jax.device_put` is asynchronous: enqueueing the NEXT batch's transfer
+    before the current step consumes it overlaps the copy with compute.
+    Through slow host links (this environment's relay moves ~40 MB/s — see
+    PERF.md) this is the difference between I/O-bound and compute-bound
+    training.
+    """
+    import collections
+
+    q = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding(v.ndim)) for k, v in b.items()}
+        return {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+
+    for b in batch_iter:
+        q.append(put(b))
+        if len(q) >= size:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 def build_schedule(lr_type: str, init_lr: float, iters_per_epoch: int,
@@ -93,18 +119,22 @@ def fit(
         tb = TBLogger(log_dir)
 
     if mesh is not None:
-        from fisr_tpu.core.mesh import replicated, shard_batch
+        from fisr_tpu.core.mesh import replicated
 
         state = jax.device_put(state, replicated(mesh))
 
     t_start = time.time()
     for epoch in range(start_epoch, epochs):
         sums, count = {}, 0
-        for idx, batch in enumerate(store.batches(batch_size, epoch_seed=seed + epoch)):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batches = store.batches(batch_size, epoch_seed=seed + epoch)
+        if mesh is not None:
+            from fisr_tpu.core.mesh import data_sharding
+
+            batches = prefetch_to_device(
+                batches, sharding=lambda nd: data_sharding(mesh, nd))
+        else:
+            batches = prefetch_to_device(batches)
+        for idx, batch in enumerate(batches):
             state, m = step_fn(state, batch)
             count += 1
             for k, v in m.items():

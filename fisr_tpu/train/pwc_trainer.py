@@ -96,11 +96,12 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
         for ep in itertools.count():
             yield from dataset.batches(batch_size, train=True, epoch_seed=seed + ep)
 
+    from fisr_tpu.train.loop import prefetch_to_device
+
     t0 = time.time()
-    for i, batch in enumerate(epochs()):
+    for i, batch in enumerate(prefetch_to_device(epochs())):
         if i >= steps:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, m = step_fn(state, batch)
         if i % display_every == 0:
             print(f"step {i}/{steps} loss {float(m['loss']):.4f} "
