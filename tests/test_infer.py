@@ -84,3 +84,16 @@ def test_sharded_matches_padded_tiling(params):
     want = runner(inp)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
     assert got.shape == (1, 64, 512, 9)
+
+
+def test_tiled_exact_interior_patches(params):
+    """Grids beyond the reference's 2x2: interior patches carry two-sided
+    halos, producing multiple shape groups (corner/edge/interior)."""
+    rng = np.random.default_rng(5)
+    inp = rng.uniform(size=(1, 128, 256, 29)).astype(np.float32)
+    runner = TiledRunner(params, grid=(2, 4), boundary=32)
+    got = runner(inp)
+    want = ref_tiled_loop(params, inp, (2, 4), 32)
+    # conv reduction-order noise through the 3-level cascade (batched vs
+    # per-patch): a handful of elements land just past the tighter tolerance
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-3)
