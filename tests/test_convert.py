@@ -66,3 +66,24 @@ def test_missing_variable_raises():
         assert False, "should raise"
     except KeyError as e:
         assert "missing" in str(e)
+
+
+def test_convert_cli_npz_to_orbax(tmp_path):
+    from fisr_tpu.convert.cli import main as conv_main
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    params = fisrnet.init_params(jax.random.PRNGKey(5))
+    tf_vars = {k + ":0": v for k, v in tf_import.export_fisrnet(params).items()}
+    npz = str(tmp_path / "w.npz")
+    np.savez(npz, **tf_vars)
+
+    out = str(tmp_path / "ck")
+    conv_main(["--model", "fisrnet", "--npz", npz, "--out", out,
+               "--step", "122000"])
+    mgr = CheckpointManager(out)
+    assert mgr.latest_step() == 122000
+    tree = mgr.restore()
+    back = tree["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
