@@ -45,3 +45,34 @@ def test_shard_batch_layout():
     shard_shapes = [s.data.shape for s in sb["data"].addressable_shards]
     assert all(s == (1, 4, 4, 3) for s in shard_shapes)
     assert len(shard_shapes) == 8
+
+
+def test_spatial_plus_data_sharded_train_step_matches_local():
+    """Full train step with the batch sharded over BOTH mesh axes (batch
+    over 'data', image width over 'spatial') — GSPMD partitions the convs
+    with automatic halo exchange; loss must match the unsharded step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    store = synthetic_store(n_samples=6, h=32, w=64, seed=0, val_size=2)
+    opt = adam_with_schedule(schedule.no_decay(1e-4))
+    step = make_train_step(opt, donate=False)
+
+    batch = next(store.batches(batch_size=4, epoch_seed=0))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state0 = create_state(jax.random.PRNGKey(0), opt)
+    _, m_local = step(state0, jbatch)
+
+    mesh = make_mesh((2, 4))
+
+    def sharding(ndim):
+        spec = ("data", None, "spatial", None)[:ndim]
+        return NamedSharding(mesh, P(*spec))
+
+    sbatch = {k: jax.device_put(v, sharding(v.ndim)) for k, v in batch.items()}
+    state1 = create_state(jax.random.PRNGKey(0), opt)
+    state1 = jax.device_put(state1, replicated(mesh))
+    _, m_sharded = step(state1, sbatch)
+
+    np.testing.assert_allclose(float(m_local["total_loss"]),
+                               float(m_sharded["total_loss"]), rtol=1e-4)
