@@ -41,6 +41,7 @@ from fisr_tpu.ops.conv import (
     dec_level,
     depth_to_space,
     enc_level,
+    head_tail_conv,
     init_conv,
     init_res_block,
     res_block,
@@ -131,6 +132,9 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) ->
         m = conv2d(hp["conv0"], n, policy)
         m = res_block(hp["res0"], m, policy)
         m = conv2d(hp["conv1"], jax.nn.relu(m), policy)
+        if sf == 2:
+            # exact packed rewrite of relu -> d2s -> conv2 (see head_tail_conv)
+            return head_tail_conv(hp["conv2"], m, policy)
         m = depth_to_space(jax.nn.relu(m), sf)
         return conv2d(hp["conv2"], m, policy)
 

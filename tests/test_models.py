@@ -105,3 +105,20 @@ def test_pwcnet_identity_pair_small_flow(pwc_params):
     x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
     flow, _ = pwcnet.apply(pwc_params, x, x)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_head_tail_conv_equals_naive_composition():
+    # head_tail_conv is an exact packed rewrite of relu -> d2s -> conv3x3
+    # (the head tail, reference FISRnet.py:99-101); only float association
+    # may differ.
+    from fisr_tpu.ops.conv import conv2d, depth_to_space, head_tail_conv, init_conv
+
+    rng = np.random.default_rng(0)
+    for co in (6, 3):
+        p = init_conv(jax.random.PRNGKey(co), 3, 16, co)
+        m = jnp.asarray(rng.normal(size=(2, 9, 11, 64)), jnp.float32)
+        naive = conv2d(p, depth_to_space(jax.nn.relu(m), 2), F32)
+        fast = head_tail_conv(p, m, F32)
+        assert fast.shape == naive.shape == (2, 18, 22, co)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-5)
