@@ -128,8 +128,18 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) ->
     n = dec_level(p["dec"]["level_1"], n, skip1, (h // 2, w // 2), policy)
     n = dec_level(p["dec"]["level_0"], n, skip0, (h, w), policy)
 
-    def run_head(hp, out_ch):
-        m = conv2d(hp["conv0"], n, policy)
+    # Both heads' conv0 read the same `n`: one [3,3,ch,2ch] conv fills the
+    # MXU's output lanes (N=128) where two N=64 convs would each waste half.
+    ch = p["fisr"]["conv0"]["w"].shape[3]
+    wm = jnp.concatenate([p["fisr"]["conv0"]["w"], p["sr"]["conv0"]["w"]],
+                         axis=3).astype(policy.compute_dtype)
+    bm = jnp.concatenate([p["fisr"]["conv0"]["b"], p["sr"]["conv0"]["b"]]
+                         ).astype(policy.compute_dtype)
+    m0 = jax.lax.conv_general_dilated(
+        n, wm, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=policy.compute_dtype) + bm
+
+    def run_head(hp, m):
         m = res_block(hp["res0"], m, policy)
         m = conv2d(hp["conv1"], jax.nn.relu(m), policy)
         if sf == 2:
@@ -138,8 +148,8 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) ->
         m = depth_to_space(jax.nn.relu(m), sf)
         return conv2d(hp["conv2"], m, policy)
 
-    pred_fisr = run_head(p["fisr"], 6)  # [fr1, fr2]
-    pred_sr = run_head(p["sr"], 3)
+    pred_fisr = run_head(p["fisr"], m0[..., :ch])  # [fr1, fr2]
+    pred_sr = run_head(p["sr"], m0[..., ch:])
     fr1, fr2 = pred_fisr[..., :3], pred_fisr[..., 3:]
     return jnp.concatenate([fr1, pred_sr, fr2], axis=-1)
 

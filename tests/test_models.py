@@ -122,3 +122,20 @@ def test_head_tail_conv_equals_naive_composition():
         assert fast.shape == naive.shape == (2, 18, 22, co)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_level_batch_invariance_f32(fisr_params):
+    # The merged-head-conv0 and packed head-tail rewrites must keep the
+    # model batch-invariant: a batch-2 apply equals two batch-1 applies
+    # up to float-association noise in f32.
+    x = jnp.asarray(np.random.default_rng(5).uniform(size=(2, 32, 48, 29)),
+                    jnp.float32)
+    batched = fisrnet.apply(fisr_params, x)[2]          # paired path
+    singles = jnp.concatenate([
+        fisrnet.apply(fisr_params, x[i : i + 1])[2]     # direct path
+        for i in range(2)
+    ], axis=0)
+    # f32 reassociation noise through 45 convs x 3 chained levels: tiny
+    # absolute error on O(10) outputs, relative only meaningful off zero
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(singles),
+                               rtol=1e-3, atol=2e-3)
