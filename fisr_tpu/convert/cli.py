@@ -1,24 +1,19 @@
-"""Checkpoint conversion CLI: TF variable dump (.npz) -> orbax checkpoint.
+"""Checkpoint conversion CLI: TF checkpoint / .npz dump -> orbax checkpoint.
 
 The reference's released weights (FISRnet-122000, pwcnet.ckpt-595000) are TF1
-TensorBundle checkpoints; reading that container needs a TF install, which
-this image (and many TPU serving images) doesn't have. The practical flow:
+TensorBundle checkpoints. They import directly, zero TF required — the
+container is read by the pure-Python bundle reader (convert/tensor_bundle.py):
 
-  # anywhere with TF (one-time, no GPU needed):
-  python - <<'PY'
-  import numpy as np, tensorflow as tf
-  r = tf.train.load_checkpoint("checkpoint_dir/FISRnet_exp1/FISRnet-122000")
-  np.savez("fisrnet_122000.npz",
-           **{k: r.get_tensor(k) for k in r.get_variable_to_shape_map()})
-  PY
-
-  # here:
-  python -m fisr_tpu.convert.cli --model fisrnet --npz fisrnet_122000.npz \
+  python -m fisr_tpu.convert.cli --model fisrnet \
+      --ckpt ./checkpoint_dir/FISRnet_exp1/FISRnet-122000 \
       --out ./checkpoint_dir/FISRnet_exp1 --step 122000
 
-After which `--phase test` / `--phase FISR_for_video` restore it like any
-native checkpoint. The name mapping itself is convert/tf_import.py (round-
-trip tested); this CLI adds the container plumbing + structural validation
+`--npz` remains as an alternative input (a {tf_var_name: array} dump made
+anywhere with TF via tf.train.load_checkpoint).
+
+After conversion, `--phase test` / `--phase FISR_for_video` restore it like
+any native checkpoint. The name mapping is convert/tf_import.py (round-trip
+tested); this CLI adds the container plumbing + structural validation
 against a fresh init.
 """
 
@@ -40,15 +35,29 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", choices=["fisrnet", "pwcnet"], required=True)
-    p.add_argument("--npz", required=True, help=".npz of {tf_var_name: array}")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--ckpt", help="TF checkpoint prefix (e.g. .../FISRnet-122000)")
+    src.add_argument("--npz", help=".npz of {tf_var_name: array}")
     p.add_argument("--out", required=True, help="orbax checkpoint directory")
     p.add_argument("--step", type=int, default=0,
                    help="global step to key the checkpoint on (e.g. 122000)")
+    p.add_argument("--verify-crc", action="store_true",
+                   help="check per-tensor/block crc32c while reading --ckpt")
     args = p.parse_args(argv)
 
-    tf_vars = dict(np.load(args.npz))
+    if args.ckpt:
+        from fisr_tpu.convert.tensor_bundle import read_bundle
+
+        tf_vars = read_bundle(args.ckpt, verify=args.verify_crc)
+    else:
+        tf_vars = dict(np.load(args.npz))
     # TF exports may suffix ':0' or prefix nothing; normalize common forms
     tf_vars = {k.split(":")[0]: v for k, v in tf_vars.items()}
+    # drop optimizer slots / bookkeeping that ride along in train checkpoints
+    tf_vars = {k: v for k, v in tf_vars.items()
+               if not (k.endswith(("/Adam", "/Adam_1"))
+                       or k.split("/")[-1] in ("beta1_power", "beta2_power",
+                                               "global_step"))}
 
     if args.model == "fisrnet":
         params = tf_import.convert_fisrnet(tf_vars)

@@ -50,7 +50,8 @@ def _res_entries(tf_prefix: str, path: tuple, names=("w", "b")) -> Dict[str, tup
 
 
 def fisrnet_name_map() -> Dict[str, tuple]:
-    """{tf_var_name: pytree key path} for all 366 FISRnet variables."""
+    """{tf_var_name: pytree key path} for all 276 FISRnet variables
+    (138 convs x {w, b})."""
     m: Dict[str, tuple] = {}
     for lvl in (1, 2, 3):
         base = f"FISRnet/level_{lvl}"
