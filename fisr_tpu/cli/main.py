@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--phase", type=str, default="FISR_for_video",
                    choices=["train", "test", "FISR_for_video"])
     p.add_argument("--scale_factor", type=int, default=2)
+    p.add_argument("--ssim_impl", type=str, default="gaussian",
+                   choices=["gaussian", "pil"],
+                   help="test-phase SSIM scorer: standard Gaussian SSIM, or "
+                        "'pil' = the reference's SSIM_PIL tile algorithm "
+                        "(FISRnet.py:890-891) for digit-level comparability")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="activation dtype (params always f32)")
@@ -173,6 +178,7 @@ def run_test(args):
         args.test_flow_data_path, args.test_warped_data_path,
         out_dir=os.path.join(args.test_img_dir, _model_dir(args)),
         input_size=tuple(args.test_input_size),
+        ssim_impl=args.ssim_impl,
     )
 
 

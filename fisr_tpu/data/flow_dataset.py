@@ -29,6 +29,22 @@ from fisr_tpu.data.png_io import read_png
 __all__ = ["FlowDataset"]
 
 
+def _id_line(i: str) -> str:
+    # dataset_base.py:253-254 writes "img1###img2###flow" tuples per line
+    return f"{i}_img1.png###{i}_img2.png###{i}_flow.flo"
+
+
+def _write_id_file(path: str, ids) -> None:
+    with open(path, "w") as f:
+        f.writelines(_id_line(i) + "\n" for i in ids)
+
+
+def _read_id_file(path: str):
+    with open(path) as f:
+        return [line.rstrip().split("###")[0][: -len("_img1.png")]
+                for line in f if line.strip()]
+
+
 @dataclasses.dataclass
 class FlowDataset:
     pairs: np.ndarray  # [N, 2, H, W, 3] uint8
@@ -37,28 +53,67 @@ class FlowDataset:
     crop_hw: Optional[tuple] = None
     aug: Optional[AugmentOptions] = None
     seed: int = 1969  # reference augmenter seed (augment.py:35)
+    split_sizes: Optional[tuple] = None  # (n_train, n_val) from ID files
+    ids: Optional[list] = None  # sample IDs, train split then val split
 
     def __post_init__(self):
         n = len(self.pairs)
-        n_val = max(1, int(n * self.val_split)) if n > 1 else 0
-        self._train_idx = np.arange(0, n - n_val)
-        self._val_idx = np.arange(n - n_val, n)
+        if self.split_sizes is not None:
+            n_train, n_val = self.split_sizes
+            assert n_train + n_val == n, (self.split_sizes, n)
+        else:
+            n_val = max(1, int(n * self.val_split)) if n > 1 else 0
+            n_train = n - n_val
+        self._train_idx = np.arange(0, n_train)
+        self._val_idx = np.arange(n_train, n)
         self._rng = np.random.default_rng(self.seed)
 
     # -- constructors -----------------------------------------------------
     @classmethod
-    def from_folder(cls, folder: str, **kw) -> "FlowDataset":
+    def from_folder(cls, folder: str, persist_split: bool = True,
+                    **kw) -> "FlowDataset":
+        """Load a corpus folder; train/val split is PERSISTED in ID files.
+
+        Mirrors dataset_base.py:197-265: the split lives in
+        `train_{val_split}split.txt` / `val_{val_split}split.txt` next to
+        the samples (lines of `img1###img2###flow` basenames). First load
+        creates them; later loads — including after the corpus is
+        regenerated or extended — reuse them byte-identically, so training
+        runs stay comparable. persist_split=False keeps the old in-memory
+        fractional split.
+        """
+        val_split = kw.get("val_split", cls.val_split)
         ids = sorted(
             os.path.basename(p)[: -len("_img1.png")]
             for p in glob.glob(os.path.join(folder, "*_img1.png"))
         )
+        if persist_split:
+            trn_file = os.path.join(folder, f"train_{val_split}split.txt")
+            val_file = os.path.join(folder, f"val_{val_split}split.txt")
+            if os.path.exists(trn_file) and os.path.exists(val_file):
+                trn_ids = _read_id_file(trn_file)
+                val_ids = _read_id_file(val_file)
+                missing = [i for i in trn_ids + val_ids if i not in set(ids)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"split manifests reference missing samples {missing[:5]}"
+                        f" — regenerate the corpus or delete {trn_file}")
+            else:
+                n = len(ids)
+                n_val = max(1, int(n * val_split)) if n > 1 else 0
+                trn_ids, val_ids = ids[: n - n_val], ids[n - n_val:]
+                _write_id_file(trn_file, trn_ids)
+                _write_id_file(val_file, val_ids)
+            ids = trn_ids + val_ids
+            kw["split_sizes"] = (len(trn_ids), len(val_ids))
         pairs, flows = [], []
         for i in ids:
             img1 = read_png(os.path.join(folder, f"{i}_img1.png"))
             img2 = read_png(os.path.join(folder, f"{i}_img2.png"))
             pairs.append(np.stack([img1, img2]))
             flows.append(flo_io.read_flo(os.path.join(folder, f"{i}_flow.flo")))
-        return cls(np.stack(pairs), np.stack(flows).astype(np.float32), **kw)
+        return cls(np.stack(pairs), np.stack(flows).astype(np.float32),
+                   ids=list(ids), **kw)
 
     @classmethod
     def synthetic(cls, n: int = 8, h: int = 64, w: int = 64, seed: int = 0,

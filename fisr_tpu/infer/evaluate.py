@@ -61,6 +61,7 @@ def evaluate_test_set(
     input_size: Sequence[int] = (1080, 1920),
     flow_norm: float = 96.0 * 2.0,
     verbose: bool = True,
+    ssim_impl: str = "gaussian",
 ) -> EvalResult:
     data_paths = list_pngs(test_data_dir)
     label_paths = list_pngs(test_label_dir)
@@ -115,9 +116,15 @@ def evaluate_test_set(
                 p = pred[:, :, 3 * s : 3 * (s + 1)]
                 g = label[:, :, 3 * s : 3 * (s + 1)]
                 frame_psnr.append(M.psnr_np(g, p.astype(np.float64), 1.0))
-                frame_ssim.append(float(M.ssim(
-                    (p * 255).astype(np.uint8).astype(np.float32),
-                    (g * 255).astype(np.uint8).astype(np.float32), max_val=255.0)))
+                if ssim_impl == "pil":
+                    # the reference's scorer (SSIM_PIL on uint8), for
+                    # digit-level comparability with README.md:97
+                    frame_ssim.append(M.ssim_pil_like(p, g))
+                else:
+                    frame_ssim.append(float(M.ssim(
+                        (p * 255).astype(np.uint8).astype(np.float32),
+                        (g * 255).astype(np.uint8).astype(np.float32),
+                        max_val=255.0)))
 
             psnr_fisr.append(frame_psnr[0]); ssim_fisr.append(frame_ssim[0])
             psnr_sr.append(frame_psnr[1]); ssim_sr.append(frame_ssim[1])

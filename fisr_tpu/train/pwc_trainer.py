@@ -28,7 +28,7 @@ from fisr_tpu.train.pwc_loss import epe, pwcnet_loss
 from fisr_tpu.train.trainer import TrainState
 
 __all__ = ["create_pwc_state", "make_pwc_train_step", "make_pwc_eval_step",
-           "pwc_fit"]
+           "pwc_eval_report", "pwc_fit"]
 
 
 def create_pwc_state(rng, optimizer: optax.GradientTransformation,
@@ -68,6 +68,73 @@ def make_pwc_eval_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
         return {"epe": epe(flow_pred, batch["y"])}
 
     return jax.jit(eval_fn)
+
+
+def pwc_eval_report(params, dataset, batch_size: int = 8,
+                    cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
+                    policy: Policy = F32, save_preds_dir: str | None = None,
+                    report_path: str | None = None):
+    """Per-sample validation report — model_pwcnet.py:817-885 parity.
+
+    The reference's eval() returns (avg metric, avg duration, pandas df with
+    ID / EPE / Duration / Avg_Flow_Mag / Max_Flow_Mag rows, optionally
+    writing .flo + flow-viz png predictions). Same here, with the rows as a
+    list of dicts (JSONL on disk instead of a dataframe — no pandas dep),
+    and the whole val batch scored in one jitted call per round.
+
+    Returns (avg_epe, avg_duration_sec, rows).
+    """
+    import json
+    import os
+    import time
+
+    @jax.jit
+    def batch_eval(params, x0, x1, y):
+        flow_pred, _ = pwcnet.apply(params, x0, x1, cfg, policy)
+        d = flow_pred.astype(jnp.float32) - y.astype(jnp.float32)
+        per_sample_epe = jnp.mean(jnp.sqrt(jnp.sum(d * d, -1)), axis=(1, 2))
+        mag = jnp.sqrt(jnp.sum(jnp.square(flow_pred.astype(jnp.float32)), -1))
+        return (flow_pred, per_sample_epe,
+                jnp.mean(mag, axis=(1, 2)), jnp.max(mag, axis=(1, 2)))
+
+    ids = getattr(dataset, "ids", None)
+    rows = []
+    idx = 0
+    if save_preds_dir:
+        os.makedirs(save_preds_dir, exist_ok=True)
+    for vb in dataset.batches(batch_size, train=False):
+        t0 = time.time()
+        flows, epes, avg_mag, max_mag = batch_eval(
+            params, jnp.asarray(vb["x"][:, 0]), jnp.asarray(vb["x"][:, 1]),
+            jnp.asarray(vb["y"]))
+        epes = jax.device_get(epes)  # fences the device work
+        duration = (time.time() - t0) / len(epes)
+        avg_mag, max_mag = jax.device_get((avg_mag, max_mag))
+        for k in range(len(epes)):
+            sample_id = (ids[dataset.train_size + idx]
+                         if ids is not None else f"val_{idx:05d}")
+            rows.append({"ID": sample_id, "EPE": float(epes[k]),
+                         "Duration": float(duration),
+                         "Avg_Flow_Mag": float(avg_mag[k]),
+                         "Max_Flow_Mag": float(max_mag[k])})
+            if save_preds_dir:
+                from fisr_tpu.data.flo import write_flo
+                from fisr_tpu.data.png_io import write_png
+                from fisr_tpu.utils.flow_viz import flow_to_img
+
+                pred = jax.device_get(flows[k])
+                write_flo(pred, os.path.join(save_preds_dir,
+                                             f"{sample_id}_flow_pred.flo"))
+                write_png(flow_to_img(pred),
+                          os.path.join(save_preds_dir,
+                                       f"{sample_id}_flow_pred.png"))
+            idx += 1
+    avg_epe = sum(r["EPE"] for r in rows) / max(len(rows), 1)
+    avg_dur = sum(r["Duration"] for r in rows) / max(len(rows), 1)
+    if report_path:
+        with open(report_path, "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+    return avg_epe, avg_dur, rows
 
 
 def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,

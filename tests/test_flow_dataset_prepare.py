@@ -97,3 +97,55 @@ def test_prepare_cli_roundtrip(tmp_path):
     flo2 = str(tmp_path / "f2.flo")
     prep_main(["flow-from-mat", "--mat", mat, "--ss", "2", "--out", flo2])
     assert flo_io.read_flo_5dim(flo2).shape == (1, 4, 32, 32, 2)
+
+
+def test_flow_dataset_persisted_id_splits(tmp_path):
+    # dataset_base.py:197-265 parity: the split is written to ID files on
+    # first load and reused byte-identically afterwards, even when the
+    # corpus gains new samples.
+    from fisr_tpu.data import flo as flo_io
+    from fisr_tpu.data.png_io import write_png
+
+    def add_sample(i):
+        rng = np.random.default_rng(i)
+        for tag in ("img1", "img2"):
+            write_png(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8),
+                      tmp_path / f"s{i:02d}_{tag}.png")
+        flo_io.write_flo(rng.normal(size=(16, 16, 2)).astype(np.float32),
+                         tmp_path / f"s{i:02d}_flow.flo")
+
+    for i in range(6):
+        add_sample(i)
+    ds1 = FlowDataset.from_folder(str(tmp_path), val_split=0.25)
+    trn_file = tmp_path / "train_0.25split.txt"
+    val_file = tmp_path / "val_0.25split.txt"
+    assert trn_file.exists() and val_file.exists()
+    manifest = trn_file.read_bytes() + val_file.read_bytes()
+    assert b"###" in manifest  # reference's tuple separator
+
+    # reload: identical split, manifests untouched
+    ds2 = FlowDataset.from_folder(str(tmp_path), val_split=0.25)
+    assert (trn_file.read_bytes() + val_file.read_bytes()) == manifest
+    np.testing.assert_array_equal(ds1.pairs, ds2.pairs)
+    assert ds1.train_size == ds2.train_size == 5
+    assert ds1.val_size == ds2.val_size == 1
+
+    # corpus regenerated with MORE samples: split stays what was persisted
+    add_sample(6)
+    ds3 = FlowDataset.from_folder(str(tmp_path), val_split=0.25)
+    assert ds3.train_size == 5 and ds3.val_size == 1
+    np.testing.assert_array_equal(ds3.flows, ds1.flows)
+
+    # a manifest pointing at deleted samples is a hard error
+    os.remove(tmp_path / "s03_img1.png")
+    try:
+        FlowDataset.from_folder(str(tmp_path), val_split=0.25)
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError as e:
+        assert "s03" in str(e)
+
+    # opt-out keeps the in-memory fractional behavior, no files consulted
+    add_sample(3)
+    ds4 = FlowDataset.from_folder(str(tmp_path), val_split=0.25,
+                                  persist_split=False)
+    assert ds4.train_size + ds4.val_size == 7

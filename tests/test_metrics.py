@@ -32,3 +32,44 @@ def test_ssim_identity_and_range():
     assert np.all(s < 1.0) and np.all(s > 0.2)
     very_noisy = rng.uniform(size=a.shape).astype(np.float32)
     assert np.all(np.asarray(ssim(a, very_noisy)) < s)
+
+
+def test_ssim_pil_like_identity_and_bounds():
+    from fisr_tpu.ops.metrics import ssim_pil_like
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(21, 28, 3))
+    assert ssim_pil_like(img, img) == 1.0
+    noisy = np.clip(img + rng.normal(scale=0.08, size=img.shape), 0, 1)
+    s = ssim_pil_like(img, noisy)
+    assert 0.0 < s < 1.0
+    # more noise -> lower score
+    worse = np.clip(img + rng.normal(scale=0.3, size=img.shape), 0, 1)
+    assert ssim_pil_like(img, worse) < s
+
+
+def test_ssim_pil_like_analytic_single_tile():
+    from fisr_tpu.ops.metrics import ssim_pil_like
+
+    # one 7x7 grayscale tile, constant images: closed-form SSIM
+    # a = 100/255, b = 120/255 (exact uint8 after truncation)
+    a = np.full((7, 7), 100 / 255.0)
+    b = np.full((7, 7), 120 / 255.0)
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    expected = ((2 * 100 * 120 + c1) * c2) / ((100**2 + 120**2 + c1) * c2)
+    np.testing.assert_allclose(ssim_pil_like(a, b), expected, rtol=1e-12)
+
+
+def test_ssim_pil_like_crops_partial_tiles_and_truncates():
+    from fisr_tpu.ops.metrics import ssim_pil_like
+
+    # 7x7 identical core; junk beyond the last full tile must be ignored
+    rng = np.random.default_rng(1)
+    core = rng.uniform(size=(7, 7, 3))
+    a = np.concatenate([core, rng.uniform(size=(7, 6, 3))], axis=1)
+    b = np.concatenate([core, rng.uniform(size=(7, 6, 3))], axis=1)
+    assert ssim_pil_like(a[:7, :13], b[:7, :13]) == 1.0
+    # quantization is truncation (matches (x*255).astype(uint8)):
+    # 0.9999 -> 254, 1.0 -> 255 differ, but 254/255 vs 254.4/255 don't
+    assert ssim_pil_like(np.full((7, 7), 254 / 255), np.full((7, 7), 254.4 / 255)) == 1.0

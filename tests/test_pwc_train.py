@@ -65,20 +65,20 @@ def test_augment_flow_consistency():
     y = rng_img.normal(size=(16, 20, 2)).astype(np.float32)
 
     # force a horizontal flip only
-    opts = AugmentOptions(fliplr=1.1, flipud=-1.0, translate_prob=-1.0)
+    opts = AugmentOptions(fliplr=1.1, flipud=-1.0, translate_prob=-1.0, scale_prob=-1.0)
     xa, ya = augment_pair(x, y, opts, np.random.default_rng(0))
     np.testing.assert_allclose(xa, x[:, :, ::-1])
     np.testing.assert_allclose(ya[..., 0], -y[:, ::-1, 0])
     np.testing.assert_allclose(ya[..., 1], y[:, ::-1, 1])
 
     # force a vertical flip only
-    opts = AugmentOptions(fliplr=-1.0, flipud=1.1, translate_prob=-1.0)
+    opts = AugmentOptions(fliplr=-1.0, flipud=1.1, translate_prob=-1.0, scale_prob=-1.0)
     xa, ya = augment_pair(x, y, opts, np.random.default_rng(0))
     np.testing.assert_allclose(ya[..., 1], -y[::-1, :, 1])
 
     # translation adds to flow
     opts = AugmentOptions(fliplr=-1.0, flipud=-1.0, translate_prob=1.1,
-                          translate_frac=0.3)
+                          translate_frac=0.3, scale_prob=-1.0)
     rng = np.random.default_rng(3)
     xa, ya = augment_pair(x, y, opts, rng)
     shift = ya - y
@@ -97,3 +97,86 @@ def test_pwc_fit_end_to_end(tmp_path):
     assert int(state.step) == 4
     import glob
     assert glob.glob(str(tmp_path / "ck" / "step_*"))
+
+
+def test_augment_scale_flow_consistency():
+    # Constant-flow pair: x2 is x1 shifted by f. After scale augmentation
+    # (reference augment.py:113-122) the warp identity must still hold:
+    # x2'(q) = x1'(q - ratio*f) on the interior.
+    from fisr_tpu.data.augment import scale_keep_size
+
+    h, w, f = 40, 48, (4, 2)  # flow (u=4 right, v=2 down)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    smooth = np.sin(xx / 7.0) + np.cos(yy / 5.0)
+    x1 = np.stack([smooth] * 3, -1)
+    x2 = np.stack([np.sin((xx - f[0]) / 7.0) + np.cos((yy - f[1]) / 5.0)] * 3, -1)
+    y = np.zeros((h, w, 2)) + np.array(f, np.float64)
+
+    opts = AugmentOptions(fliplr=-1.0, flipud=-1.0, translate_prob=-1.0,
+                          scale_prob=1.1, scale_frac=0.05)
+    rng = np.random.default_rng(7)
+    xa, ya = augment_pair(np.stack([x1, x2]), y, opts, rng)
+
+    # flow vectors scaled by the drawn ratio, uniformly
+    ratios = ya[..., 0] / f[0]
+    assert np.allclose(ratios[8:-8, 8:-8], ratios[10, 10])
+    ratio = float(ratios[10, 10])
+    assert 0.95 <= ratio <= 1.05 and ratio != 1.0
+
+    # warp identity on the interior (bilinear tolerance)
+    u = ya[10, 10, 0]
+    v = ya[10, 10, 1]
+    iu, iv = int(round(u)), int(round(v))
+    interior = np.s_[12:-12, 12:-12]
+    pred = np.roll(np.roll(xa[0], iv, axis=0), iu, axis=1)
+    assert np.abs(pred[interior] - xa[1][interior]).mean() < 0.05
+
+
+def test_scale_keep_size_shapes_and_identity():
+    from fisr_tpu.data.augment import scale_keep_size
+
+    img = np.random.default_rng(0).uniform(size=(32, 40, 3))
+    for ratio in (0.95, 1.0, 1.05):
+        out = scale_keep_size(img, ratio)
+        assert out.shape == img.shape
+    np.testing.assert_allclose(scale_keep_size(img, 1.0), img, atol=1e-12)
+    # 2D arrays work too (single-channel path)
+    assert scale_keep_size(img[..., 0], 0.97).shape == (32, 40)
+
+
+def test_pwc_eval_report_schema(tmp_path):
+    # model_pwcnet.py:817-885 parity: per-sample rows with
+    # ID/EPE/Duration/Avg_Flow_Mag/Max_Flow_Mag + saved .flo/.png preds.
+    import json
+
+    from fisr_tpu.data.flow_dataset import FlowDataset
+    from fisr_tpu.models import pwcnet
+    from fisr_tpu.train.pwc_trainer import pwc_eval_report
+
+    cfg = pwcnet.PWCNetConfig(pyr_lvls=3, flow_pred_lvl=2, search_range=2,
+                              cost_volume_impl="xla")
+    params = pwcnet.init_params(jax.random.PRNGKey(0), cfg)
+    ds = FlowDataset.synthetic(n=5, h=32, w=32)
+    report_path = str(tmp_path / "report.jsonl")
+    preds_dir = str(tmp_path / "preds")
+    avg_epe, avg_dur, rows = pwc_eval_report(
+        params, ds, batch_size=1, cfg=cfg, save_preds_dir=preds_dir,
+        report_path=report_path)
+
+    assert len(rows) == ds.val_size
+    for r in rows:
+        assert set(r) == {"ID", "EPE", "Duration", "Avg_Flow_Mag",
+                          "Max_Flow_Mag"}
+        assert r["EPE"] >= 0 and r["Max_Flow_Mag"] >= r["Avg_Flow_Mag"]
+    assert avg_epe == sum(r["EPE"] for r in rows) / len(rows)
+    # JSONL round-trips
+    loaded = [json.loads(line) for line in open(report_path)]
+    assert loaded == rows
+    # predictions written as .flo + viz png
+    import os
+    flos = [f for f in os.listdir(preds_dir) if f.endswith(".flo")]
+    pngs = [f for f in os.listdir(preds_dir) if f.endswith(".png")]
+    assert len(flos) == len(pngs) == len(rows)
+    from fisr_tpu.data.flo import read_flo
+    pred = read_flo(os.path.join(preds_dir, flos[0]))
+    assert pred.shape == (32, 32, 2)
