@@ -91,6 +91,9 @@ def main():
             "input": [h, w], "mode": f"{mode} bf16", "grid": list(grid),
             "sec_per_pass": round(dt, 4),
             "achieved_tflops": round(tflops, 2),
+            # model-FLOPs utilization vs the v5e 197 TFLOP/s bf16 peak —
+            # progress measure independent of the estimated TF baseline
+            "mfu": round(tflops / 197.0, 4),
         },
     }))
 

@@ -86,6 +86,11 @@ def parse_args(argv=None):
 
     # FISR_for_video settings
     p.add_argument("--frame_folder_path", type=str, default="./FISR_test_folder/scene1")
+    p.add_argument("--video_out_dir", type=str, default=None,
+                   help="where FISR_for_video writes output frames "
+                        "(default: <frame_folder>/FISR_frames, the "
+                        "reference layout — use this when the frame folder "
+                        "is read-only)")
     p.add_argument("--FISR_input_size", type=int, nargs=2, default=[1080, 1920])
     p.add_argument("--frame_num", type=int, default=5)
     p.add_argument("--FISR_test_patch", type=int, nargs=2, default=[2, 2])
@@ -192,6 +197,7 @@ def run_video(args):
     pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
     return run_video_pipeline(
         params, pwc_params, args.frame_folder_path,
+        out_folder=args.video_out_dir,
         grid=tuple(args.FISR_test_patch), policy=_policy(args),
         write_artifacts=not args.fused, frame_num=args.frame_num,
         fused=args.fused,
