@@ -54,7 +54,7 @@ BASE_CH = 64
 IN_CH = 29  # 9 img + 8 flow + 12 warp
 PRED_CH = 9  # [fr1(3), SR(3), fr2(3)]
 
-__all__ = ["init_params", "apply", "apply_level", "param_count"]
+__all__ = ["init_params", "apply", "apply_level", "apply_heads", "param_count"]
 
 
 def _init_level(rng, in_ch: int, ch: int = BASE_CH, sf: int = 2) -> Params:
@@ -116,20 +116,17 @@ def init_params(rng, in_ch: int = IN_CH, sf: int = 2) -> Params:
     }
 
 
-def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) -> jnp.ndarray:
-    """One U-Net level: x [B, h, w, C] -> prediction [B, h*sf, w*sf, 9]."""
-    x = policy.cast(x)
-    n, skip0 = enc_level(p["enc"]["level_0"], x, policy)
-    n, skip1 = enc_level(p["enc"]["level_1"], n, policy)
-    n, skip2 = enc_level(p["enc"]["level_2"], n, policy)
-    n = bottleneck(p["bottleneck"], n, policy)
-    h, w = x.shape[1], x.shape[2]
-    n = dec_level(p["dec"]["level_2"], n, skip2, (h // 4, w // 4), policy)
-    n = dec_level(p["dec"]["level_1"], n, skip1, (h // 2, w // 2), policy)
-    n = dec_level(p["dec"]["level_0"], n, skip0, (h, w), policy)
+def apply_heads(p: Params, n: jnp.ndarray, sf: int = 2, policy: Policy = F32) -> jnp.ndarray:
+    """Both output heads on the final decoder features `n` [B, h, w, ch].
 
+    Returns the level prediction [B, h*sf, w*sf, 9] = concat [fr1, SR, fr2]
+    (FISRnet.py:95-108). Receptive radius: 5 px in `n`'s scale.
+    """
     # Both heads' conv0 read the same `n`: one [3,3,ch,2ch] conv fills the
     # MXU's output lanes (N=128) where two N=64 convs would each waste half.
+    # (Merging res0/conv1 as block-diagonal convs was tried and REVERTED:
+    # in-context C=64 convs already run ~65-70 TFLOP/s, so doubling their
+    # MACs at the C=128 rate is a net loss — measured +12 ms/4K pass.)
     ch = p["fisr"]["conv0"]["w"].shape[3]
     wm = jnp.concatenate([p["fisr"]["conv0"]["w"], p["sr"]["conv0"]["w"]],
                          axis=3).astype(policy.compute_dtype)
@@ -154,21 +151,95 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32) ->
     return jnp.concatenate([fr1, pred_sr, fr2], axis=-1)
 
 
-def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32):
+# Tail receptive radii (input px) of the pipeline suffix from each cut point:
+# dec0 consumes 8 (x2 upsample 2 + resize conv 1 + conv_in 1 + 2 res blocks 4)
+# and the heads 6 (conv0 1 + res0 2 + conv1 1 + x2-scale tail conv 1). Both
+# are rounded UP to 8-multiples: slices at 8-aligned offsets keep the TPU
+# (8,128) tile layout intact (odd offsets force relayouts and pathological
+# compiles), and a larger-than-needed tail only preserves MORE of the ring.
+_TAIL_DEC0 = 16
+_TAIL_HEADS = 8
+
+
+def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32,
+                stale_halo: int = 0, fast_upsample: bool = False) -> jnp.ndarray:
+    """One U-Net level: x [B, h, w, C] -> prediction [B, h*sf, w*sf, 9].
+
+    stale_halo: if the caller tiled the frame and x carries a `stale_halo`-px
+    ring that will be DISCARDED from the output (patch-tiled inference,
+    infer/device.tiled_apply), the ring only has to survive as far as the
+    pipeline suffix still reads it: it is trimmed to 14 px before dec0 and
+    6 px before the heads (the suffix receptive radii above). The retained
+    output is BIT-IDENTICAL to carrying the full ring through — the removed
+    cells influence only removed cells — but skips ~18% of dec0/head FLOPs.
+    The returned prediction then carries only a _TAIL_HEADS*sf-px stale ring.
+    Requires stale_halo == 0 or >= _TAIL_DEC0 with the cut a multiple of 8.
+
+    fast_upsample: run the decoder's x2 upsample+conv as one folded subpixel
+    conv (ops/conv.up_conv2x) — exact except the last two output rows/cols
+    at the frame border; inference paths opt in, training keeps the exact
+    composition.
+    """
+    x = policy.cast(x)
+    n, skip0 = enc_level(p["enc"]["level_0"], x, policy)
+    n, skip1 = enc_level(p["enc"]["level_1"], n, policy)
+    n, skip2 = enc_level(p["enc"]["level_2"], n, policy)
+    n = bottleneck(p["bottleneck"], n, policy)
+    h, w = x.shape[1], x.shape[2]
+    # dec2 keeps the exact composition even in fast mode: its 1-px border
+    # deviation lives at 1/4 scale (4 full px) and the ~30-px downstream
+    # receptive tail would carry it past a 32-px halo ring into patch cores;
+    # dec1/dec0 deviations (2/2+6 px tails) stay strictly inside the ring.
+    n = dec_level(p["dec"]["level_2"], n, skip2, (h // 4, w // 4), policy)
+    n = dec_level(p["dec"]["level_1"], n, skip1, (h // 2, w // 2), policy,
+                  fast_upsample)
+
+    if stale_halo:
+        assert stale_halo >= _TAIL_DEC0 and (stale_halo - _TAIL_DEC0) % 8 == 0, stale_halo
+        cut = stale_halo - _TAIL_DEC0
+        ch2 = cut // 2
+        n = n[:, ch2 : n.shape[1] - ch2, ch2 : n.shape[2] - ch2, :]
+        skip0 = skip0[:, cut : skip0.shape[1] - cut, cut : skip0.shape[2] - cut, :]
+        h, w = h - 2 * cut, w - 2 * cut
+
+    n = dec_level(p["dec"]["level_0"], n, skip0, (h, w), policy, fast_upsample)
+
+    if stale_halo:
+        c2 = _TAIL_DEC0 - _TAIL_HEADS
+        n = n[:, c2 : n.shape[1] - c2, c2 : n.shape[2] - c2, :]
+
+    return apply_heads(p, n, sf, policy)
+
+
+def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32,
+          final_stale_halo: int = 0, fast_upsample: bool = False):
     """Full 3-level stack. img: [B, H, W, 29] (H, W multiples of 32).
 
     Returns (pred_l1, pred_l2, pred_l3) at resolutions (H/2, H, 2H) — parity
     with FISRnet.model()'s three-scale outputs. The x1/4 and x1/2 inputs use
     the TF1-legacy bicubic, which for integer factors is exact subsampling.
+
+    final_stale_halo: see apply_level — a discardable halo on img that level
+    3 may shrink mid-pipeline (levels 1/2 keep it: their predictions feed the
+    next level's input concat and must stay full-size). pred_l3 then carries
+    a 6*sf-px stale ring instead of final_stale_halo*sf.
     """
+    # fast_upsample stays OFF for levels 1/2: their internal scales are 1/4
+    # to 1/16 of the window, so the folded upconv's 1-px border deviation
+    # spans 16+ window px there and diffuses through pred_l1/pred_l2 into
+    # every level-3 pixel. Level 3's dec1/dec0 deviations stay inside the
+    # discardable halo ring (see apply_level).
+    img = policy.cast(img)
     img_l1 = downsample_int(img, 4)
     pred_l1 = apply_level(params["level_1"], img_l1, sf, policy)
 
-    img_l2 = jnp.concatenate([policy.cast(downsample_int(img, 2)), pred_l1], axis=-1)
+    img_l2 = jnp.concatenate([downsample_int(img, 2), pred_l1], axis=-1)
     pred_l2 = apply_level(params["level_2"], img_l2, sf, policy)
 
-    img_l3 = jnp.concatenate([policy.cast(img), pred_l2], axis=-1)
-    pred_l3 = apply_level(params["level_3"], img_l3, sf, policy)
+    img_l3 = jnp.concatenate([img, pred_l2], axis=-1)
+    pred_l3 = apply_level(params["level_3"], img_l3, sf, policy,
+                          stale_halo=final_stale_halo,
+                          fast_upsample=fast_upsample)
     return pred_l1, pred_l2, pred_l3
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "dec_level",
     "depth_to_space",
     "head_tail_conv",
+    "up_conv2x",
     "init_conv",
     "init_res_block",
 ]
@@ -121,18 +122,71 @@ def bottleneck(p: Params, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray:
 
 
 def dec_level(p: Params, x: jnp.ndarray, skip: jnp.ndarray, size,
-              policy: Policy = F32) -> jnp.ndarray:
+              policy: Policy = F32, fast_upsample: bool = False) -> jnp.ndarray:
     from fisr_tpu.ops.resize import resize_tf1, upsample2x_bilinear
 
-    if (size[0], size[1]) == (x.shape[1] * 2, x.shape[2] * 2):
-        n = upsample2x_bilinear(x)
+    if fast_upsample and (size[0], size[1]) == (x.shape[1] * 2, x.shape[2] * 2):
+        n = jax.nn.relu(up_conv2x(p["resize"], x, policy))
     else:
-        n = resize_tf1(x, size, "bilinear")
-    n = jax.nn.relu(conv2d(p["resize"], n, policy))
+        if (size[0], size[1]) == (x.shape[1] * 2, x.shape[2] * 2):
+            n = upsample2x_bilinear(x)
+        else:
+            n = resize_tf1(x, size, "bilinear")
+        n = jax.nn.relu(conv2d(p["resize"], n, policy))
     n = jnp.concatenate([n, policy.cast(skip)], axis=-1)
     n = conv2d(p["conv_in"], n, policy)
     n = res_block(p["res0"], n, policy)
     return jax.nn.relu(res_block(p["res1"], n, policy))
+
+
+def _fold_up_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold `conv3x3(upsample2x_bilinear(x), w)` into a subpixel kernel.
+
+    [3,3,C,Co] -> [3,3,C,4Co]: output slot (a,b) of the x2-upsampled conv
+    result is itself a 3x3 conv over the HALF-res input whose taps are the
+    original taps composed with the TF1-legacy bilinear stencil
+    (up[2k]=x[k], up[2k+1]=(x[k]+x[k+1])/2):
+
+        W'[t,u,c,(a,b,f)] = sum_{d,e} F[a,t,d] * F[b,u,e] * w[d,e,c,f]
+
+    with the 1-D fold F[a][tap t][kernel tap d] below. Slot blocks are in
+    TF depth_to_space (DCR) order, so `depth_to_space(conv(x, W'), 2)`
+    reproduces the composition.
+    """
+    f = jnp.asarray(
+        [[[0.5, 0.0, 0.0],   # a=0: up rows 2i-1, 2i, 2i+1
+          [0.5, 1.0, 0.5],
+          [0.0, 0.0, 0.5]],
+         [[0.0, 0.0, 0.0],   # a=1: up rows 2i, 2i+1, 2i+2
+          [1.0, 0.5, 0.0],
+          [0.0, 0.5, 1.0]]], w.dtype)
+    wp = jnp.einsum("atd,bue,decf->tucabf", f, f, w)
+    k0, k1, c = wp.shape[0], wp.shape[1], wp.shape[2]
+    return wp.reshape(k0, k1, c, 4 * w.shape[3])
+
+
+def up_conv2x(p: Params, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray:
+    """`conv2d(p, upsample2x_bilinear(x))` as ONE subpixel conv at input res.
+
+    Math-identical to the composition except a thin frame border: the first
+    output row/col (the conv's zero pad sits between two upsample stencil
+    taps, which the fold can't represent) and the last two (the legacy
+    upsample CLAMPS its final interpolated row, the fold reads zero pad).
+    Patch-tiled inference trims >=2 px everywhere but the true canvas
+    border, so infer paths opt in (fast_upsample) while training/eval keep
+    the exact composition.
+
+    Why: the decoder's upsample-then-conv runs the conv at DOUBLE resolution
+    with its output lanes only c_out/128 full (dec0: N=64 = half-empty MXU);
+    the folded form does the same FLOPs at input resolution with 4*c_out
+    output channels — full lanes (measured ~1.5-2x on the dec0 resize conv).
+    """
+    wp = _fold_up_conv_weights(p["w"]).astype(policy.compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        policy.cast(x), wp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=policy.compute_dtype)
+    return depth_to_space(out, 2) + p["b"].astype(policy.compute_dtype)
 
 
 def depth_to_space(x: jnp.ndarray, block: int) -> jnp.ndarray:

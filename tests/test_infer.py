@@ -56,7 +56,7 @@ def test_tiled_exact_matches_reference_loop(params):
     runner = TiledRunner(params, grid=(2, 2), boundary=32)
     got = runner(inp)
     want = ref_tiled_loop(params, inp, (2, 2), 32)
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=6e-3)
 
 
 def test_tiled_single_patch_equals_direct_apply(params):
@@ -82,7 +82,7 @@ def test_sharded_matches_padded_tiling(params):
 
     runner = TiledRunner(params, grid=(1, n), boundary=32, mode="padded")
     want = runner(inp)
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=6e-3)
     assert got.shape == (1, 64, 512, 9)
 
 
