@@ -138,15 +138,8 @@ def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
     rem = 8  # stale ring left on pred after the mid-pipeline shrink
     th = (rem if stale else bh) * sf
     tw = (rem if stale else bw) * sf
-    rows = []
-    for ph in range(gh):
-        row = [
-            pred[(ph * gw + pw) * b : (ph * gw + pw + 1) * b,
-                 th : th + s_h * sf, tw : tw + s_w * sf, :]
-            for pw in range(gw)
-        ]
-        rows.append(jnp.concatenate(row, axis=2))
-    return jnp.concatenate(rows, axis=1)
+    core = pred[:, th : th + s_h * sf, tw : tw + s_w * sf, :]
+    return unpatchify(core, grid, b)
 
 
 def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 4)):

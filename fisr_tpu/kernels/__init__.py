@@ -1,1 +1,1 @@
-from fisr_tpu.kernels import cost_volume_pallas, res_block_pallas  # noqa: F401
+from fisr_tpu.kernels import cost_volume_pallas  # noqa: F401

@@ -46,6 +46,32 @@ def test_warp_matches_reference():
     np.testing.assert_allclose(got, np_warp(img, flow), rtol=1e-5, atol=1e-5)
 
 
+def test_warp_patch_variant_matches_taps():
+    """The 2x2-patch gather formulation (fast path at large extents) must be
+    exact vs both the taps form and the numpy reference, including border
+    clamping (x0/y0 clamped with the shift folded into the lerp weight)."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(2, 9, 11, 3)).astype(np.float32)
+    flow = rng.uniform(-6, 6, size=(2, 9, 11, 2)).astype(np.float32)
+    taps = np.asarray(dense_image_warp(img, flow, variant="taps"))
+    patch = np.asarray(dense_image_warp(img, flow, variant="patch"))
+    np.testing.assert_allclose(patch, taps, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(patch, np_warp(img, flow), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_patch_variant_differentiable():
+    rng = np.random.default_rng(8)
+    img = rng.uniform(size=(1, 6, 7, 2)).astype(np.float32)
+    flow = rng.uniform(-2, 2, size=(1, 6, 7, 2)).astype(np.float32)
+
+    def loss(f):
+        return jax.numpy.sum(dense_image_warp(img, f, variant="patch") ** 2)
+
+    g = jax.grad(loss)(flow)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).max()) > 0
+
+
 def test_warp_zero_flow_is_identity():
     rng = np.random.default_rng(1)
     img = rng.uniform(size=(1, 6, 7, 4)).astype(np.float32)
