@@ -77,12 +77,17 @@ def main():
     out = runner(params, inp)
     float(jnp.mean(out))  # compile + warm up (scalar readback = real sync)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = runner(params, inp)
-    float(jnp.mean(out))  # sync: block_until_ready is unreliable over axon
-    dt = (time.perf_counter() - t0) / n_iters
+    # median of 3 timing repeats: the axon relay adds +-2-3% run-to-run
+    # noise, and the driver records a single bench invocation
+    n_iters, reps = 20, 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = runner(params, inp)
+        float(jnp.mean(out))  # sync: block_until_ready lies over axon
+        times.append((time.perf_counter() - t0) / n_iters)
+    dt = sorted(times)[reps // 2]
     assert out.shape == (1, 2 * h, 2 * w, 9)
 
     passes_per_sec = 1.0 / dt

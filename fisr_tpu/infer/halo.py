@@ -124,17 +124,14 @@ def halo_map(
 
     def to_patches(x):
         _, h, w, _ = x.shape
-        psh = _scaled(sh, h, rh, "patch h")
-        psw = _scaled(sw, w, rw, "patch w")
         hh = _scaled(halo, h, rh, "halo h")
         hw = _scaled(halo, w, rw, "halo w")
-        xp = jnp.pad(x, ((0, 0), (hh, hh), (hw, hw), (0, 0)))
-        tiles = [
-            xp[:, i * psh : (i + 1) * psh + 2 * hh,
-               j * psw : (j + 1) * psw + 2 * hw, :]
-            for i in range(gh) for j in range(gw)
-        ]
-        return jnp.concatenate(tiles, 0)
+        if hh != hw:
+            raise ValueError(f"anisotropic scaled halo {hh}x{hw} unsupported")
+        # reshape-patchify + strip exchange instead of gh*gw overlapping
+        # slices: ~8 ops regardless of grid size (a (8,8) grid's 64 big
+        # slice+concat ops made XLA compiles pathological)
+        return halo_exchange(patchify(x, grid), grid, b, hh)
 
     patch_in = jax.tree_util.tree_unflatten(treedef, [to_patches(l) for l in leaves])
     out = f(patch_in)

@@ -76,8 +76,12 @@ def make_flow_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
             rgb = [resize_tf1(r, (h * upscale, w * upscale), "bilinear") for r in rgb]
         pair0, (hh, ww) = _pad_to(rgb[0], 2**cfg.pyr_lvls)
         pair1, _ = _pad_to(rgb[1], 2**cfg.pyr_lvls)
-        fwd, _ = pwcnet.apply(params, pair0, pair1, cfg, policy)
-        bwd, _ = pwcnet.apply(params, pair1, pair0, cfg, policy)
+        # siamese pyramids are direction-independent: extract once, run the
+        # top-down estimation twice (saves ~2x21 ms per pair at video scale)
+        c1 = pwcnet.extract_features(params, pair0, cfg, policy)
+        c2 = pwcnet.extract_features(params, pair1, cfg, policy)
+        fwd, _ = pwcnet.apply_pyramids(params, c1, c2, cfg, policy)
+        bwd, _ = pwcnet.apply_pyramids(params, c2, c1, cfg, policy)
         flows = jnp.stack([fwd[:, :hh, :ww], bwd[:, :hh, :ww]], axis=1)
         # back to input resolution: spatial /upscale and magnitude /upscale
         flows = resize_tf1(flows, (h, w), "bilinear") / float(upscale)

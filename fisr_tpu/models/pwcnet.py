@@ -149,6 +149,27 @@ def init_params(rng, cfg: PWCNetConfig = PWCNetConfig()) -> Params:
     return {"feat": feat, "flow": flow, "ctx": ctx, "up": up}
 
 
+def _feature_grid(h: int, w: int):
+    """Patch grid for a pyramid level at huge extents, else None.
+
+    The C=3/16 full-res feature convs run at ~3 TFLOP/s full-frame on v5e
+    (lane-starved AND extent-collapsed); as a patch batch of ~264x480 tiles
+    the same level runs 2.4x faster (2112x3840: 14.7 -> 6.2 ms at (8,8)).
+    Below ~4M px tiling is a wash or a loss — measured at 1056x1920 and
+    528x960. Patches must stay even for the stride-2 conv grid."""
+    if h * w < 4_000_000:
+        return None
+
+    def pick(n, target):
+        best = 1
+        for g in (8, 6, 4, 3, 2):
+            if n % g == 0 and n // g >= target and n // g % 2 == 0:
+                return g
+        return best
+    gh, gw = pick(h, 256), pick(w, 448)
+    return None if gh * gw == 1 else (gh, gw)
+
+
 def extract_features(p: Params, x: jnp.ndarray, cfg: PWCNetConfig,
                      policy: Policy = F32):
     """Siamese pyramid for one image: x [B, H, W, 3] -> list of levels 1..L."""
@@ -156,9 +177,21 @@ def extract_features(p: Params, x: jnp.ndarray, cfg: PWCNetConfig,
     n = policy.cast(x)
     for lvl in range(1, cfg.pyr_lvls + 1):
         lp = p["feat"][f"level_{lvl}"]
-        n = _leaky(conv2d(lp["a"], n, policy, stride=2))
-        n = _leaky(conv2d(lp["aa"], n, policy))
-        n = _leaky(conv2d(lp["b"], n, policy))
+
+        def block(t, lp=lp):
+            t = _leaky(conv2d(lp["a"], t, policy, stride=2))
+            t = _leaky(conv2d(lp["aa"], t, policy))
+            return _leaky(conv2d(lp["b"], t, policy))
+
+        grid = _feature_grid(n.shape[1], n.shape[2])
+        if grid is None:
+            n = block(n)
+        else:
+            # halo 6 >= the block's receptive radius (5 input px), even so
+            # the stride-2 grid stays aligned; patch interiors are bit-exact
+            from fisr_tpu.infer.halo import halo_map
+
+            n = halo_map(block, n, grid, 6, (n.shape[1], n.shape[2]))
         out.append(n)
     return out
 
@@ -169,6 +202,44 @@ def _estimate(p: Params, x: jnp.ndarray, cfg: PWCNetConfig, policy: Policy):
         act = _leaky(conv2d(p[f"conv{i}"], x, policy))
         x = jnp.concatenate([act, x], axis=-1) if cfg.use_dense_cx else act
     return x, conv2d(p["pred"], x, policy)
+
+
+def _estimator_grid(h: int, w: int):
+    """Patch grid for the estimator at large spatial extents, else None.
+
+    XLA's throughput on the estimator's fat dense-concat convs collapses at
+    large extents (measured v5e, 528x960 input: 50 ms full-frame vs 34 ms as
+    a (4,4) patch batch with a 6-px halo; small extents LOSE from tiling —
+    264x480: 15.4 vs 19.6). Tile only above ~500k px, aiming for ~132x240
+    patches. The context net (r=32 dilations) and coarser levels stay
+    full-frame: measured slower tiled.
+    """
+    if h * w < 500_000:
+        return None
+
+    def pick(n, lo):
+        for g in (4, 3, 2):
+            if n % g == 0 and n // g >= lo:
+                return g
+        return 1
+    gh, gw = pick(h, 120), pick(w, 224)
+    return None if gh * gw == 1 else (gh, gw)
+
+
+def _estimate_tiled(p: Params, x: jnp.ndarray, cfg: PWCNetConfig, policy: Policy):
+    """_estimate, patch-tiled via halo_map when the extent is collapse-prone.
+
+    halo 6 = the estimator's receptive radius (6 3x3 convs), so patch
+    interiors are bit-exact vs full-frame; only a <=6-px frame-border band
+    differs (zero ring vs conv-SAME ring — the same class as every tiled
+    inference path here, PARITY.md)."""
+    grid = _estimator_grid(x.shape[1], x.shape[2])
+    if grid is None:
+        return _estimate(p, x, cfg, policy)
+    from fisr_tpu.infer.halo import halo_map
+
+    return halo_map(lambda t: _estimate(p, t, cfg, policy), x, grid, 6,
+                    (x.shape[1], x.shape[2]))
 
 
 def _refine(p: Params, feat: jnp.ndarray, flow: jnp.ndarray, cfg: PWCNetConfig,
@@ -188,10 +259,19 @@ def apply(params: Params, img1: jnp.ndarray, img2: jnp.ndarray,
     img1/img2: [B, H, W, 3] in [0, 1], H and W multiples of 2**pyr_lvls
     (callers pad — parity with adapt_x, model_pwcnet.py:371-409).
     Returns (flow_pred [B, H, W, 2] in full-res pixel units, flow_pyramid).
+
+    Bidirectional callers should extract the two feature pyramids ONCE and
+    call `apply_pyramids` for each direction — the siamese pyramid is the
+    same either way, and at video scale it costs ~21 ms per image.
     """
     c1 = extract_features(params, img1, cfg, policy)
     c2 = extract_features(params, img2, cfg, policy)
+    return apply_pyramids(params, c1, c2, cfg, policy)
 
+
+def apply_pyramids(params: Params, c1, c2,
+                   cfg: PWCNetConfig = PWCNetConfig(), policy: Policy = F32):
+    """Flow from precomputed feature pyramids (extract_features outputs)."""
     cv = cfg.cost_volume_fn()
     flow_pyr = []
     up_flow = up_feat = None
@@ -205,7 +285,8 @@ def apply(params: Params, img1: jnp.ndarray, img2: jnp.ndarray,
             corr = _leaky(cv(c1[lvl], warped))
             x = jnp.concatenate([corr, c1[lvl], up_flow, up_feat], axis=-1)
 
-        upfeat, flow = _estimate(params["flow"][f"level_{lvl}"], x, cfg, policy)
+        upfeat, flow = _estimate_tiled(params["flow"][f"level_{lvl}"], x, cfg,
+                                       policy)
 
         if lvl != cfg.flow_pred_lvl:
             if cfg.use_res_cx:

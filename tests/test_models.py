@@ -139,3 +139,71 @@ def test_level_batch_invariance_f32(fisr_params):
     # absolute error on O(10) outputs, relative only meaningful off zero
     np.testing.assert_allclose(np.asarray(batched), np.asarray(singles),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_pwc_tiling_grid_rules():
+    """Auto-tiling thresholds measured on v5e (models/pwcnet.py)."""
+    from fisr_tpu.models.pwcnet import _estimator_grid, _feature_grid
+
+    assert _estimator_grid(528, 960) == (4, 4)       # x2-video level 2
+    assert _estimator_grid(264, 480) is None         # level 3: tiling loses
+    assert _estimator_grid(24, 40) is None           # training crops
+    assert _feature_grid(2112, 3840) == (8, 8)       # x2-video level-1 input
+    assert _feature_grid(1056, 1920) is None         # level 2+: wash
+    g = _estimator_grid(528, 962)                    # 962 = 2*13*37
+    assert g is None or 962 % g[1] == 0              # never a non-divisor
+
+
+def test_pwc_estimator_tiled_interior_exact(pwc_params):
+    """halo_map'd estimator (dense concats) == full-frame in patch cores."""
+    from fisr_tpu.infer.halo import halo_map
+    from fisr_tpu.models.pwcnet import (PWCNetConfig, _estimate,
+                                        _estimator_channels)
+
+    cfg = PWCNetConfig()
+    od = _estimator_channels(cfg, 2)
+    x = jax.random.normal(jax.random.PRNGKey(30), (1, 32, 48, od), jnp.float32)
+    p = pwc_params["flow"]["level_2"]
+    full_up, full_fl = pwcnet._estimate(p, x, cfg, F32)
+    t_up, t_fl = halo_map(lambda t: _estimate(p, t, cfg, F32), x,
+                          (2, 2), 6, (32, 48))
+    np.testing.assert_array_equal(np.asarray(t_fl)[:, 6:-6, 6:-6],
+                                  np.asarray(full_fl)[:, 6:-6, 6:-6])
+    np.testing.assert_array_equal(np.asarray(t_up)[:, 6:-6, 6:-6],
+                                  np.asarray(full_up)[:, 6:-6, 6:-6])
+
+
+def test_pwc_feature_block_tiled_interior_exact(pwc_params):
+    """The stride-2 feature block under halo_map: even patch + even halo
+    keep the stride grid aligned -> interior bit-exact vs full-frame."""
+    from fisr_tpu.infer.halo import halo_map
+    from fisr_tpu.models.pwcnet import PWCNetConfig, _leaky
+    from fisr_tpu.ops.conv import conv2d
+
+    cfg = PWCNetConfig()
+    lp = pwc_params["feat"]["level_1"]
+
+    def block(t):
+        t = _leaky(conv2d(lp["a"], t, F32, stride=2))
+        t = _leaky(conv2d(lp["aa"], t, F32))
+        return _leaky(conv2d(lp["b"], t, F32))
+
+    x = jax.random.normal(jax.random.PRNGKey(31), (1, 64, 96, 3), jnp.float32)
+    full = block(x)
+    tiled = halo_map(block, x, (2, 2), 6, (64, 96))
+    assert tiled.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(tiled)[:, 3:-3, 3:-3],
+                                  np.asarray(full)[:, 3:-3, 3:-3])
+
+
+def test_pwc_apply_pyramids_matches_apply(pwc_params):
+    """apply == extract twice + apply_pyramids (the bidirectional-reuse
+    surface used by the video pipeline)."""
+    cfg = pwcnet.PWCNetConfig()
+    x1 = jax.random.uniform(jax.random.PRNGKey(32), (1, 64, 64, 3), jnp.float32)
+    x2 = jax.random.uniform(jax.random.PRNGKey(33), (1, 64, 64, 3), jnp.float32)
+    want, _ = pwcnet.apply(pwc_params, x1, x2, cfg, F32)
+    c1 = pwcnet.extract_features(pwc_params, x1, cfg, F32)
+    c2 = pwcnet.extract_features(pwc_params, x2, cfg, F32)
+    got, _ = pwcnet.apply_pyramids(pwc_params, c1, c2, cfg, F32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
