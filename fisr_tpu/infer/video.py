@@ -199,20 +199,47 @@ def run_video_pipeline(
         step = make_fused_video_step(policy=policy)
         digits = math.ceil(math.log10(2 * (n - 1)))
         out_paths = []
-        for fr in range(n - 2):
-            window = jnp.asarray(frames[None, fr : fr + 3, :h, :w])
-            pred = np.asarray(step(fisr_params, pwc_params, window)[0])
-            pred_u8 = np.uint8(pred * 255)
+
+        # Pipelined streaming: window k+1's upload and compute are dispatched
+        # (async) BEFORE window k's prediction is pulled to the host, so the
+        # device works on k+1 while the host drains k through the (slow)
+        # transfer link; PNG encoding runs on worker threads. Output values
+        # and order are identical to the synchronous loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def emit(fr, pred_dev):
+            pred_u8 = np.uint8(np.asarray(pred_dev[0]) * 255)
             for s in range(3):
                 idx = str(fr * 2 + s).zfill(digits)
                 rgb = yuv2rgb_matlab_u8(pred_u8[:, :, 3 * s : 3 * s + 3])
                 p_rgb = os.path.join(out_folder, f"pred_{idx}.png")
-                write_png(rgb, p_rgb)
-                write_png(pred_u8[:, :, 3 * s : 3 * s + 3],
-                          os.path.join(out_folder, f"pred_YUV_{idx}.png"))
+                yuv = pred_u8[:, :, 3 * s : 3 * s + 3]
+                p_yuv = os.path.join(out_folder, f"pred_YUV_{idx}.png")
+                yield (rgb, p_rgb), (yuv, p_yuv)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            writes = []
+            pending = None
+            for fr in range(n - 2):
+                window = jax.device_put(frames[None, fr : fr + 3, :h, :w])
+                pred_dev = step(fisr_params, pwc_params, window)
+                if pending is not None:
+                    for (rgb, p_rgb), (yuv, p_yuv) in emit(*pending):
+                        writes.append(pool.submit(write_png, rgb, p_rgb))
+                        writes.append(pool.submit(write_png, yuv, p_yuv))
+                        out_paths.append(p_rgb)
+                    if verbose:
+                        print(f"<FISR fused> window [{pending[0] + 1}/{n - 2}]",
+                              flush=True)
+                pending = (fr, pred_dev)
+            for (rgb, p_rgb), (yuv, p_yuv) in emit(*pending):
+                writes.append(pool.submit(write_png, rgb, p_rgb))
+                writes.append(pool.submit(write_png, yuv, p_yuv))
                 out_paths.append(p_rgb)
             if verbose:
-                print(f"<FISR fused> window [{fr + 1}/{n - 2}]", flush=True)
+                print(f"<FISR fused> window [{n - 2}/{n - 2}]", flush=True)
+            for fut in writes:
+                fut.result()
         return out_paths
 
     # stage 1+2: flows + warped middle frames for each adjacent pair

@@ -1,0 +1,69 @@
+"""Regenerate artifacts/real_scene1: the FISR_for_video phase on REAL data.
+
+Drives the fused flow->warp->FISRnet pipeline over the 5 real 1080x1920 YUV
+frames the reference ships (FISR_test_folder/scene1 — its only real data),
+then records output hashes, shapes, means, and center thumbnails for visual
+regression across rounds. Weights are seeded fresh inits (the released TF
+checkpoints are an external download not present here); swap in
+`python -m fisr_tpu.convert.cli` output when available.
+
+Run on the real TPU: PYTHONPATH=. python scripts/make_scene1_artifacts.py
+"""
+import hashlib
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+SCENE = "/root/reference/FISR_test_folder/scene1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "real_scene1")
+
+
+def main():
+    from fisr_tpu.cli import main as cli
+    from fisr_tpu.data.png_io import read_png
+
+    tmp = tempfile.mkdtemp(prefix="scene1_")
+    cli.main([
+        "--phase", "FISR_for_video", "--frame_folder_path", SCENE,
+        "--video_out_dir", tmp, "--FISR_input_size", "1080", "1920",
+        "--frame_num", "5", "--fused", "--compute_dtype", "bfloat16",
+    ])
+
+    os.makedirs(OUT, exist_ok=True)
+    rec = {
+        "inputs": "reference FISR_test_folder/scene1 (5 real 1080x1920 YUV PNGs)",
+        "pipeline": "FISR_for_video --fused (PWC flow + warp + FISRnet, one XLA program/window)",
+        "weights": ("seeded fresh init (PRNGKey(0) fisr / PRNGKey(1) pwc) - "
+                    "released TF weights are an external download not present "
+                    "in this environment; swap in convert.cli output when "
+                    "available"),
+        "device": "TPU v5e (axon), bf16 policy",
+        "outputs": {},
+    }
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".png"):
+            continue
+        path = os.path.join(tmp, name)
+        img = read_png(path)
+        rec["outputs"][name] = {
+            "sha256": hashlib.sha256(open(path, "rb").read()).hexdigest(),
+            "shape": list(img.shape),
+            "mean": round(float(img.mean()), 3),
+        }
+        # center 64x64 thumbnail for quick eyeballing in-repo
+        h, w = img.shape[:2]
+        crop = img[h // 2 - 32 : h // 2 + 32, w // 2 - 32 : w // 2 + 32]
+        from fisr_tpu.data.png_io import write_png
+
+        write_png(crop, os.path.join(OUT, f"thumb_{name}"))
+    with open(os.path.join(OUT, "hashes.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {len(rec['outputs'])} output records to {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
