@@ -59,11 +59,40 @@ def _kernel(c1_ref, c2_hbm, out_ref, c2s, sem, *, th, c, w, d):
             out_ref[0, dy * n + dx] = cost.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def cost_volume_pallas(c1: jnp.ndarray, c2: jnp.ndarray, search_range: int = 4,
                        interpret: bool = False) -> jnp.ndarray:
     """c1, c2: [B, H, W, C] -> [B, H, W, (2d+1)^2]; zero padding semantics
-    identical to ops.cost_volume."""
+    identical to ops.cost_volume.
+
+    Differentiable: pallas_call has no autodiff rule, so a custom VJP routes
+    the backward pass through the XLA composition (ops.cost_volume) —
+    mathematically the same function, and training shapes are small enough
+    that the XLA form is fine there. Found the hard way: the first on-TPU
+    PWC training run died in jvp_jaxpr on the kernel (scripts/train_pwc_demo.py).
+    """
+    return _cost_volume_pallas_impl(c1, c2, search_range, interpret)
+
+
+def _cv_fwd(c1, c2, search_range, interpret):
+    return _cost_volume_pallas_impl(c1, c2, search_range, interpret), (c1, c2)
+
+
+def _cv_bwd(search_range, _interpret, res, g):
+    from fisr_tpu.ops.cost_volume import cost_volume
+
+    c1, c2 = res
+    _, vjp = jax.vjp(lambda a, b: cost_volume(a, b, search_range), c1, c2)
+    return vjp(g)
+
+
+cost_volume_pallas.defvjp(_cv_fwd, _cv_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "interpret"))
+def _cost_volume_pallas_impl(c1: jnp.ndarray, c2: jnp.ndarray,
+                             search_range: int = 4,
+                             interpret: bool = False) -> jnp.ndarray:
     b, h, w, c = c1.shape
     d = search_range
     n = 2 * d + 1
