@@ -76,3 +76,37 @@ def test_spatial_plus_data_sharded_train_step_matches_local():
 
     np.testing.assert_allclose(float(m_local["total_loss"]),
                                float(m_sharded["total_loss"]), rtol=1e-4)
+
+
+def test_pwc_dp_train_step_matches_single_device():
+    """PWC-Net DP over the mesh 'data' axis == local step — the TPU-native
+    replacement for the reference's ONLY multi-device mechanism (PWC tower
+    training with host gradient averaging, model_pwcnet.py:254-339)."""
+    import optax
+
+    from fisr_tpu.data.flow_dataset import FlowDataset
+    from fisr_tpu.models import pwcnet
+    from fisr_tpu.train.pwc_trainer import create_pwc_state, make_pwc_train_step
+
+    # shallow pyramid keeps the double (local + sharded) fwd+bwd compile
+    # tractable on the virtual mesh; DP semantics don't depend on depth
+    cfg = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2)
+    ds = FlowDataset.synthetic(n=10, h=32, w=32, seed=0)
+    opt = optax.adam(1e-4)
+    step = make_pwc_train_step(opt, cfg, donate=False)
+    batch = next(ds.batches(batch_size=8, epoch_seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state0 = create_pwc_state(jax.random.PRNGKey(0), opt, cfg)
+    _, m_local = step(state0, batch)
+
+    mesh = make_mesh((8, 1))
+    state1 = create_pwc_state(jax.random.PRNGKey(0), opt, cfg)
+    state1 = jax.device_put(state1, replicated(mesh))
+    sb = shard_batch(batch, mesh)
+    new_state, m_dp = step(state1, sb)
+
+    np.testing.assert_allclose(float(m_local["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
