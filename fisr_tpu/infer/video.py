@@ -36,7 +36,11 @@ import numpy as np
 
 from fisr_tpu.data import flo as flo_io
 from fisr_tpu.data import matio
-from fisr_tpu.data.png_io import list_pngs, read_png, write_png
+from fisr_tpu.data.png_io import list_pngs, read_png
+# 4K output frames are written through the native threaded libpng encoder
+# (C++, native/loader.cc) — falls back to PIL transparently when the .so
+# isn't built. The write side dominates host time for the video phase.
+from fisr_tpu.native.bindings import encode_png as write_png
 from fisr_tpu.infer.tiled import TiledRunner
 from fisr_tpu.models import pwcnet
 from fisr_tpu.ops.color import rgb2yuv_matlab, yuv2rgb_matlab, yuv2rgb_matlab_u8
