@@ -1,34 +1,32 @@
-"""Halo-exchanged stage tiling: full-frame results at patch-friendly geometry.
+"""Halo tiling toolkit: full-frame conv segments at patch-friendly geometry.
 
-Motivation (PERF.md): XLA's conv throughput on v5e collapses at large spatial
-extents (a full-frame 1024x1920 C=64 conv runs at ~8-13 TFLOP/s vs ~30+ when
-the same pixels are presented as a batch of ~256x480 patches), so the 4K pass
-is tiled. But tiling the WHOLE 3-level network with the reference's 32-px
-halo (infer/device.tiled_apply) recomputes every halo through all ~45 convs —
-41.7% redundant FLOPs at the bench's (4,4) grid.
+Motivation (PERF.md): XLA's conv throughput on v5e collapses at large
+spatial extents (a full-frame 1024x1920 C=64 conv runs at ~8-13 TFLOP/s vs
+~30+ when the same pixels are presented as a batch of ~256x480 patches).
+`halo_map(f, x, grid, halo, ref_hw)` runs a conv segment `f` patch-batched
+with `halo` px of REAL neighbor values around each patch: wherever
+`f`'s receptive radius <= halo, the result is BIT-EXACT equal to `f` on the
+whole frame (pinned in tests/test_staged.py), with only a <= halo-wide
+zero-ring approximation at the true frame border (the same class as
+`infer/tiled.py`'s `padded` mode).
 
-This module tiles per *stage* instead: each U-Net stage (a segment of 3-6
-convs with receptive radius <= 8) runs patch-batched with a halo just big
-enough for that segment, then the patches are stitched back into a full
-frame before the next stage. The halo values are REAL neighbor pixels
-(sliced from the full-frame input), so interior results are bit-exact equal
-to running the stage on the whole frame — the redundant compute drops from
-41.7% to ~5% while keeping the favorable patch geometry for every conv.
+Consumers: the PWC-Net large-extent stages (models/pwcnet.py auto-tiles its
+L2 estimator and L1 feature block through halo_map), and FISRnet's device
+runners use `patchify`/`unpatchify` directly. `halo_exchange` is the
+single-host twin of the multi-chip ppermute exchange (infer/sharded.py) and
+the patchify primitive here: building patches as reshape + strip exchange
+costs ~8 XLA ops for ANY grid, where gh*gw overlapping slices made (8,8)
+compiles pathological.
 
-Frame-edge semantics: the canvas is zero-padded, so the first conv of a
-segment sees exactly its full-frame SAME zeros; deeper convs in the segment
-see segment-internal activations of that zero ring instead of fresh zeros —
-the same approximation class as `infer/tiled.py`'s `padded` mode, confined
-to a <= halo-wide ring at the frame border (interior pixels are exact).
-
-The multi-chip analog of this pattern exchanges the same halos with
-`ppermute` (infer/sharded.py); here the "exchange" is a slice of the
-reassembled full-frame tensor, which XLA lowers to cheap contiguous copies.
+(The per-U-Net-stage halo-exchange pipeline this module was first built for
+measured SLOWER than carried-halo whole-window tiling — the exchange copies
+eat the halo compute they save; see PERF.md's round-2 negative results. The
+primitives survive because the PWC single-segment uses win.)
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

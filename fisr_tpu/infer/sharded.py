@@ -14,11 +14,9 @@ grid — the single-device cross-check used in tests.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fisr_tpu.core.mesh import SPATIAL_AXIS
 from fisr_tpu.models import fisrnet

@@ -8,7 +8,6 @@ fallback keeps tests/platforms without libpng working.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional, Sequence
 
 import numpy as np
