@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="activation dtype (params always f32)")
+    p.add_argument("--eval_engine", type=str, default="exact",
+                   choices=["exact", "fast"],
+                   help="test-phase inference engine: 'exact' reproduces the "
+                        "reference patch tiling bit-for-bit (host-staged); "
+                        "'fast' runs the fully-jitted device path (in-jit "
+                        "tiling + stale-halo shrink + fast upsample) — "
+                        "padded-class quality, production throughput")
 
     # directories / data
     p.add_argument("--train_data_path", type=str,
@@ -173,11 +180,19 @@ def run_train(args):
 
 def run_test(args):
     from fisr_tpu.infer.evaluate import evaluate_test_set
-    from fisr_tpu.infer.tiled import TiledRunner
 
     params = _load_params(args)
-    runner = TiledRunner(params, grid=tuple(args.test_patch), boundary=32,
-                         sf=args.scale_factor, policy=_policy(args))
+    if args.eval_engine == "fast":
+        from fisr_tpu.infer.device import FastTiledRunner
+
+        runner = FastTiledRunner(params, grid=tuple(args.test_patch),
+                                 boundary=32, sf=args.scale_factor,
+                                 policy=_policy(args))
+    else:
+        from fisr_tpu.infer.tiled import TiledRunner
+
+        runner = TiledRunner(params, grid=tuple(args.test_patch), boundary=32,
+                             sf=args.scale_factor, policy=_policy(args))
     return evaluate_test_set(
         runner, args.test_data_path, args.test_label_path,
         args.test_flow_data_path, args.test_warped_data_path,
@@ -207,15 +222,17 @@ def run_video(args):
 def main(argv=None):
     args = parse_args(argv)
     print(f"Model: {args.net_type}, phase: {args.phase}, exp: {args.exp_num}")
+    result = None
     if args.phase == "train":
         run_train(args)
         print("[*] Training finished! Testing starts")
-        run_test(args)
+        result = run_test(args)
     elif args.phase == "test":
-        run_test(args)
+        result = run_test(args)
     else:
-        run_video(args)
+        result = run_video(args)
     print(f"[*] {args.phase} finished!")
+    return result
 
 
 if __name__ == "__main__":

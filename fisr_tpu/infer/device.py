@@ -27,7 +27,7 @@ from fisr_tpu.ops.conv import F32, Policy
 from fisr_tpu.ops.resize import downsample_int
 
 __all__ = ["make_device_runner", "staged_apply", "run_level_tiled",
-           "tiled_apply"]
+           "tiled_apply", "FastTiledRunner"]
 
 
 def _split(x: jnp.ndarray, grid, halo_h: int, halo_w: int) -> jnp.ndarray:
@@ -140,6 +140,33 @@ def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
     tw = (rem if stale else bw) * sf
     core = pred[:, th : th + s_h * sf, tw : tw + s_w * sf, :]
     return unpatchify(core, grid, b)
+
+
+class FastTiledRunner:
+    """TiledRunner-interface adapter over the fully-jitted device path.
+
+    Same call contract as infer/tiled.TiledRunner (host numpy in/out, .grid
+    and .sf attributes — what infer/evaluate.evaluate_test_set needs), but
+    one XLA program per call: in-jit padded tiling + mid-pipeline
+    stale-halo shrink + level-3 fast upsample. `padded`-class quality
+    (interior patches exact, zero-ring frame edges); the `exact` TiledRunner
+    remains the reference-parity default for published-number evaluation.
+    """
+
+    def __init__(self, params, grid: Tuple[int, int] = (2, 2),
+                 boundary: int = 32, sf: int = 2, policy: Policy = F32):
+        self.params = params
+        self.grid = grid
+        self.boundary = boundary
+        self.sf = sf
+        self.policy = policy
+        self._fn = jax.jit(lambda p, x: tiled_apply(p, x, grid, boundary,
+                                                    sf, policy))
+
+    def __call__(self, inp) -> "jnp.ndarray":
+        import numpy as np
+
+        return np.asarray(self._fn(self.params, jnp.asarray(inp)), np.float32)
 
 
 def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 4)):

@@ -99,3 +99,16 @@ def test_video_phase(workdir):
     # reference-format intermediates written next to the frames
     assert glob.glob(os.path.join(workdir["video"], "*_test_ss1_fr3.flo"))
     assert glob.glob(os.path.join(workdir["video"], "*_ss1_fr3_warp.mat"))
+
+
+def test_test_phase_fast_engine(workdir, capsys):
+    """--eval_engine fast routes eval through the fully-jitted device path;
+    metrics must agree with the exact engine to tiling-approximation noise."""
+    if not glob.glob(str(workdir["root"] / "ckpt" / "FISRnet_exp1" / "step_*")):
+        cli_main(["--phase", "train"] + _common_args(workdir))
+        capsys.readouterr()
+    exact = cli_main(["--phase", "test"] + _common_args(workdir))
+    fast = cli_main(["--phase", "test", "--eval_engine", "fast"]
+                    + _common_args(workdir))
+    assert abs(exact.psnr_sr - fast.psnr_sr) < 0.5
+    assert abs(exact.psnr_vfi_sr - fast.psnr_vfi_sr) < 0.5
