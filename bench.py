@@ -69,9 +69,11 @@ def main():
         fisrnet.init_params(jax.random.PRNGKey(0)))
     inp = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 29), jnp.bfloat16)
 
-    # (4,4) batched tiling currently beats full-frame on v5e (XLA tiles the
-    # 64-ch convs better at smaller spatial extents), halos included
-    mode, grid = "tiled", (4, 4)
+    # (4,6) batched tiling beats full-frame on v5e (XLA tiles the 64-ch
+    # convs better at smaller spatial extents), halos included; re-swept
+    # 2026-08-17 after the stale-halo shrink changed the halo economics
+    # ((4,4) 211.0 ms, (4,6) 207.4, (4,8) 222.8 — 5-rep medians)
+    mode, grid = "tiled", (4, 6)
     runner = make_device_runner(mode, grid=grid, boundary=32,
                                 policy=Policy(jnp.bfloat16))
     out = runner(params, inp)
