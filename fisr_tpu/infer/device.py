@@ -169,8 +169,12 @@ class FastTiledRunner:
         return np.asarray(self._fn(self.params, jnp.asarray(inp)), np.float32)
 
 
-def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 4)):
-    """Largest valid grid <= target whose patches stay 32-multiples."""
+def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 6)):
+    """Largest valid grid <= target whose patches stay 32-multiples.
+
+    Default target (4,6): the post-shrink grid sweep found patch W of
+    320+2*32=384 is an XLA sweet spot at 2K (PERF.md — (4,6) 207.4 ms vs
+    (4,4) 211.0 at 1024x1920; W 448 patches are ~10% slower)."""
     gh = max(g for g in range(1, target[0] + 1) if h % (32 * g) == 0)
     gw = max(g for g in range(1, target[1] + 1) if w % (32 * g) == 0)
     return gh, gw
