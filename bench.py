@@ -101,6 +101,11 @@ def main():
         "vs_baseline": round(passes_per_sec / baseline_passes_per_sec, 3),
         "detail": {
             "input": [h, w], "mode": f"{mode} bf16", "grid": list(grid),
+            # measurement condition, recorded since round 2: params pre-cast
+            # to bf16 at load + bf16 input window (the serving condition —
+            # round 1 measured f32 params with in-graph casts, so part of
+            # the r1->r2 delta is this condition change, not pipeline speed)
+            "dtype_condition": "bf16 params + bf16 input (since r2)",
             "sec_per_pass": round(dt, 4),
             "achieved_tflops": round(tflops, 2),
             # model-FLOPs utilization vs the v5e 197 TFLOP/s bf16 peak —

@@ -107,6 +107,15 @@ def parse_args(argv=None):
     p.add_argument("--FISR_input_size", type=int, nargs=2, default=[1080, 1920])
     p.add_argument("--frame_num", type=int, default=5)
     p.add_argument("--FISR_test_patch", type=int, nargs=2, default=[2, 2])
+    p.add_argument("--pwc_ckpt", type=str, default=None,
+                   help="PWC-Net checkpoint directory for the video phase's "
+                        "flow stage (a CheckpointManager dir — what "
+                        "`fisr_tpu.convert.cli --model pwcnet` or "
+                        "`train.pwc_trainer.pwc_fit` writes). Default: "
+                        "<checkpoint_dir>/pwcnet if it holds a checkpoint; "
+                        "otherwise fresh random init with a loud warning "
+                        "(the reference restores its flow ckpt at "
+                        "model_base.py:115-191, wired from main.py:211)")
     p.add_argument("--fused", action="store_true",
                    help="run the video phase as one fused on-device program "
                         "per window (no .flo/.mat round-trip, no tiling)")
@@ -150,6 +159,38 @@ def _load_params(args):
         return params
     print(" [!] no checkpoint found — using fresh init")
     return fisrnet.init_params(jax.random.PRNGKey(0))
+
+
+def _load_pwc_params(args):
+    """Restore PWC-Net params for the video phase's flow stage.
+
+    Looks at --pwc_ckpt, else <checkpoint_dir>/pwcnet. Picks the ledger's
+    best step (min val EPE) when metrics were recorded, else the latest.
+    Falls back to fresh init with a loud warning — a random flow stage
+    makes the video phase's interpolation quality meaningless.
+    """
+    import jax
+
+    from fisr_tpu.models import pwcnet
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    path = args.pwc_ckpt or os.path.join(args.checkpoint_dir, "pwcnet")
+    if os.path.isdir(path):
+        mgr = CheckpointManager(path, best_mode="min")
+        if mgr.latest_step() is not None:
+            step = mgr.best_step()
+            tree = mgr.restore(step)
+            params = tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+            print(f" [*] restored PWC-Net checkpoint step {step} from {path}")
+            return params
+    if args.pwc_ckpt:
+        raise FileNotFoundError(f"--pwc_ckpt {args.pwc_ckpt}: no checkpoint found")
+    print(" [!] WARNING: no PWC-Net checkpoint at "
+          f"{path} — flow stage runs on RANDOM weights; interpolated frames "
+          "will be conditioned on noise flows. Convert the released "
+          "pwcnet.ckpt-595000 via fisr_tpu.convert.cli or train one with "
+          "train.pwc_trainer.pwc_fit, then pass --pwc_ckpt.")
+    return pwcnet.init_params(jax.random.PRNGKey(1))
 
 
 def run_train(args):
@@ -214,13 +255,10 @@ def run_test(args):
 
 
 def run_video(args):
-    import jax
-
     from fisr_tpu.infer.video import run_video_pipeline
-    from fisr_tpu.models import pwcnet
 
     params = _load_params(args)
-    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
+    pwc_params = _load_pwc_params(args)
     return run_video_pipeline(
         params, pwc_params, args.frame_folder_path,
         out_folder=args.video_out_dir,

@@ -34,6 +34,10 @@ def _split(x: jnp.ndarray, grid, halo_h: int, halo_w: int) -> jnp.ndarray:
     """Overlapping patchify: zero-pad the canvas, batch the (gh, gw) grid."""
     gh, gw = grid
     _b, h, w, _c = x.shape
+    if h % gh or w % gw:
+        raise ValueError(
+            f"grid {grid} does not divide frame {h}x{w}: slice reassembly "
+            f"would silently drop up to {gh - 1}/{gw - 1} rows/cols")
     sh, sw = h // gh, w // gw
     xp = jnp.pad(x, ((0, 0), (halo_h, halo_h), (halo_w, halo_w), (0, 0)))
     return jnp.concatenate(
@@ -72,9 +76,12 @@ def default_plans(h: int, w: int):
     its convs well; coarser levels get away with fewer, larger patches,
     which halves their halo-recompute ratio."""
     def g(scale, target):
-        gh = max(1, min(target, (h // scale) // 256))
-        gw = max(1, min(target, (w // scale) // 256))
-        return (gh, gw)
+        def pick(extent, tgt):
+            # largest grid <= tgt that divides the extent (a non-divisor
+            # would make _split's slice reassembly drop rows)
+            want = max(1, min(tgt, extent // 256))
+            return max(d for d in range(1, want + 1) if extent % d == 0)
+        return (pick(h // scale, target), pick(w // scale, target))
     return {"level_1": (1, 1), "level_2": g(2, 2), "level_3": g(1, 4)}
 
 
@@ -121,6 +128,8 @@ def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
     """
     gh, gw = grid
     b, h, w, _c = x.shape
+    if h % gh or w % gw:
+        raise ValueError(f"grid {grid} does not divide frame {h}x{w}")
     s_h, s_w = h // gh, w // gw
     bh = boundary if gh > 1 else 0
     bw = boundary if gw > 1 else 0

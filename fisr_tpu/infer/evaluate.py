@@ -49,6 +49,7 @@ class EvalResult:
     ssim_sr: float
     sec_per_frame: float
     n_frames: int
+    compile_sec: float = 0.0  # one-time warm-up, excluded from sec_per_frame
 
 
 def evaluate_test_set(
@@ -85,6 +86,21 @@ def evaluate_test_set(
         os.makedirs(out_dir, exist_ok=True)
 
     n_windows = N_TEST_IN_SEQ - N_IN_SEQ + 1
+
+    # Warm the runner on the window-batch shape before the timed region:
+    # the first call of a shape group absorbs the XLA compile (10-70 s via
+    # the remote helper), which would otherwise land in scene 0's
+    # sec_per_frame. The reference's per-frame number also excluded graph
+    # build (the session graph pre-exists the timing loop, FISRnet.py:870-873).
+    compile_sec = 0.0
+    if n_scenes:
+        t0 = time.time()
+        runner(np.zeros((n_windows, h, w, 29), np.float32))
+        compile_sec = time.time() - t0
+        if verbose:
+            print(f" <Test> warm-up/compile: {compile_sec:.1f}s "
+                  "(excluded from sec_per_frame)", flush=True)
+
     for scene_i in range(n_scenes):
         # all 3 sliding windows of the scene ride the batch axis of ONE
         # tiled call (the reference ran a sess.run per patch per window)
@@ -151,6 +167,7 @@ def evaluate_test_set(
         ssim_sr=float(np.mean(ssim_sr)),
         sec_per_frame=float(np.mean(inf_time)),
         n_frames=len(psnr_fisr) + len(psnr_sr),
+        compile_sec=compile_sec,
     )
     if verbose:
         print(f"######### Test (average) PSNR: VFI-SR {result.psnr_vfi_sr:.4f} dB, "

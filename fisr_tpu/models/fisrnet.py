@@ -120,7 +120,9 @@ def apply_heads(p: Params, n: jnp.ndarray, sf: int = 2, policy: Policy = F32) ->
     """Both output heads on the final decoder features `n` [B, h, w, ch].
 
     Returns the level prediction [B, h*sf, w*sf, 9] = concat [fr1, SR, fr2]
-    (FISRnet.py:95-108). Receptive radius: 5 px in `n`'s scale.
+    (FISRnet.py:95-108). Receptive radius: 6 px in `n`'s scale
+    (conv0 1 + res0 2 + conv1 1 + 2 px for the x2-scale tail conv —
+    the single derivation behind _TAIL_HEADS below).
     """
     # Both heads' conv0 read the same `n`: one [3,3,ch,2ch] conv fills the
     # MXU's output lanes (N=128) where two N=64 convs would each waste half.

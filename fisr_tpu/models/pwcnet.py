@@ -161,11 +161,12 @@ def _feature_grid(h: int, w: int):
         return None
 
     def pick(n, target):
-        best = 1
+        # first (largest) exact divisor keeping patches >= target and even;
+        # 1 = leave the axis unsplit
         for g in (8, 6, 4, 3, 2):
             if n % g == 0 and n // g >= target and n // g % 2 == 0:
                 return g
-        return best
+        return 1
     gh, gw = pick(h, 256), pick(w, 448)
     return None if gh * gw == 1 else (gh, gw)
 

@@ -141,9 +141,16 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
             val_every: int = 1000, display_every: int = 100,
             schedule_fn=None, cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
             policy: Policy = F32, loss_mode: str = "multiscale",
-            max_to_keep: int = 10, seed: int = 0) -> TrainState:
+            max_to_keep: int = 10, seed: int = 0,
+            log_dir: str | None = None, panel_samples: int = 4) -> TrainState:
     """Step-driven training loop (model_pwcnet.py:587-788 parity: periodic
-    display/val, BestCheckpointSaver-style top-k retention ranked by EPE)."""
+    display/val, BestCheckpointSaver-style top-k retention ranked by EPE).
+
+    log_dir: when set, writes TF-free TensorBoard events — train loss /
+    val EPE scalars, plus an img1|img2|flow_pred|warped|flow_gt panel of the
+    first `panel_samples` val samples every val round (the reference's
+    OptFlowTBLogger.log_imgs_w_flows observability, logger.py:132-177).
+    """
     import itertools
     import time
 
@@ -158,6 +165,33 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
     step_fn = make_pwc_train_step(opt, cfg, policy, loss_mode)
     eval_fn = make_pwc_eval_step(cfg, policy)
     mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep, best_mode="min")
+    tb = None
+    if log_dir:
+        from fisr_tpu.utils.tb_writer import TBLogger
+
+        tb = TBLogger(log_dir)
+
+    def log_val_panel(params, step):
+        """One flow-panel image summary from the first val batch."""
+        import numpy as np
+
+        from fisr_tpu.ops.warp import dense_image_warp
+        from fisr_tpu.utils.flow_viz import flow_panels
+
+        vb = next(iter(dataset.batches(batch_size, train=False)), None)
+        if vb is None:
+            return
+        n = min(panel_samples, len(vb["x"]))
+        x = jnp.asarray(vb["x"][:n])
+        flow_pred, _ = jax.jit(
+            lambda p, a, b: pwcnet.apply(p, a, b, cfg, policy)
+        )(params, x[:, 0], x[:, 1])
+        warped = dense_image_warp(x[:, 1], flow_pred.astype(jnp.float32))
+        panel = flow_panels(np.asarray(vb["x"][:n]),
+                            np.asarray(flow_pred, np.float32),
+                            np.asarray(warped, np.float32),
+                            np.asarray(vb["y"][:n]))
+        tb.log_image("val/flow_panel", panel, step)
 
     def epochs():
         for ep in itertools.count():
@@ -173,12 +207,17 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
         if i % display_every == 0:
             print(f"step {i}/{steps} loss {float(m['loss']):.4f} "
                   f"({(time.time() - t0) / 60:.1f} min)", flush=True)
+            if tb:
+                tb.log_scalar("train/loss", float(m["loss"]), i)
         if (i + 1) % val_every == 0 or i + 1 == steps:
             epes = [float(eval_fn(state.params,
                                   {k: jnp.asarray(v) for k, v in vb.items()})["epe"])
                     for vb in dataset.batches(batch_size, train=False)]
             val_epe = sum(epes) / max(len(epes), 1)
             print(f"step {i + 1}: val EPE {val_epe:.4f}", flush=True)
+            if tb:
+                tb.log_scalar("val/EPE", val_epe, i + 1)
+                log_val_panel(state.params, i + 1)
             mgr.save(int(state.step),
                      {"params": state.params, "opt_state": state.opt_state,
                       "step": state.step}, metric=val_epe)

@@ -7,7 +7,12 @@ Parity targets from the vendored tfoptflow:
 * `read_pfm` / `write_pfm` — FlyingThings-style PFM flow I/O
   (optflow.py:65-161 handles .flo/.png/.pfm; .flo lives in data/flo.py);
 * `write_kitti_png` / `read_kitti_png` — KITTI 16-bit png flow encoding
-  (u, v scaled by 64 + 2^15, third channel validity).
+  (u, v scaled by 64 + 2^15, third channel validity);
+* `flow_panel` / `flow_panels` — the img1|img2|flow|warped|gt row composer
+  behind training observability (visualize.plot_img_pairs_w_flows:18+ and
+  OptFlowTBLogger.log_imgs_w_flows, logger.py:132-177) — pure numpy tile
+  concatenation instead of a matplotlib figure (no text, no mpl dep; the
+  information content is the tiles).
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import re
 import numpy as np
 
 __all__ = ["flow_to_img", "read_pfm", "write_pfm", "read_kitti_png",
-           "write_kitti_png"]
+           "write_kitti_png", "flow_panel", "flow_panels"]
 
 
 def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -52,6 +57,78 @@ def flow_to_img(flow: np.ndarray, normalize: bool = True,
     sat = np.clip(mag / flow_mag_max, 0, 1) if normalize else np.clip(mag, 0, 1)
     rgb = _hsv_to_rgb(hue, sat, np.ones_like(hue))
     return (rgb * 255.0).astype(np.uint8)
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    """float [0,1] or uint8 [H, W, 3] -> uint8; grayscale is broadcast."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    if img.dtype != np.uint8:
+        img = (np.clip(img.astype(np.float64), 0.0, 1.0) * 255.0).astype(np.uint8)
+    return img
+
+
+def flow_panel(img1: np.ndarray, img2: np.ndarray, flow_pred: np.ndarray,
+               warped: np.ndarray | None = None,
+               flow_gt: np.ndarray | None = None,
+               flow_mag_max: float | None = None,
+               pad: int = 2) -> np.ndarray:
+    """One observability row: [img1 | img2 | flow_pred | warped? | flow_gt?].
+
+    Images are float [0,1] or uint8 [H, W, 3]; flows [H, W, 2] rendered via
+    the Middlebury color wheel (`flow_to_img`) — pred and gt share one
+    magnitude normalization so their saturations are comparable. Returns a
+    uint8 [H, W_total, 3] strip with `pad`-px white separators — the numpy
+    analog of plot_img_pairs_w_flows (visualize.py:18+).
+    """
+    if flow_mag_max is None:
+        mags = [np.sqrt(np.sum(np.square(flow_pred.astype(np.float64)), -1))]
+        if flow_gt is not None:
+            mags.append(np.sqrt(np.sum(np.square(flow_gt.astype(np.float64)), -1)))
+        flow_mag_max = max(float(np.max(m)) for m in mags) or 1e-9
+    tiles = [_to_u8(img1), _to_u8(img2),
+             flow_to_img(flow_pred, flow_mag_max=flow_mag_max)]
+    if warped is not None:
+        tiles.append(_to_u8(warped))
+    if flow_gt is not None:
+        tiles.append(flow_to_img(flow_gt, flow_mag_max=flow_mag_max))
+    h = tiles[0].shape[0]
+    sep = np.full((h, pad, 3), 255, np.uint8)
+    out = []
+    for i, t in enumerate(tiles):
+        if i:
+            out.append(sep)
+        out.append(t)
+    return np.concatenate(out, axis=1)
+
+
+def flow_panels(img_pairs: np.ndarray, flow_preds: np.ndarray,
+                warped: np.ndarray | None = None,
+                flow_gts: np.ndarray | None = None,
+                flow_mag_max: float | None = None,
+                pad: int = 2) -> np.ndarray:
+    """Stack one `flow_panel` row per batch sample into a single image.
+
+    img_pairs: [B, 2, H, W, 3]; flow_preds: [B, H, W, 2]; warped/flow_gts
+    optional [B, ...]. The batch analog of OptFlowTBLogger.log_imgs_w_flows
+    (logger.py:132-177), composed into ONE image summary.
+    """
+    rows = [flow_panel(img_pairs[b, 0], img_pairs[b, 1], flow_preds[b],
+                       None if warped is None else warped[b],
+                       None if flow_gts is None else flow_gts[b],
+                       flow_mag_max, pad)
+            for b in range(len(img_pairs))]
+    w = rows[0].shape[1]
+    sep = np.full((pad, w, 3), 255, np.uint8)
+    out = []
+    for i, r in enumerate(rows):
+        if i:
+            out.append(sep)
+        out.append(r)
+    return np.concatenate(out, axis=0)
 
 
 def write_pfm(path: str | os.PathLike, data: np.ndarray, scale: float = 1.0) -> None:

@@ -101,6 +101,94 @@ def test_video_phase(workdir):
     assert glob.glob(os.path.join(workdir["video"], "*_ss1_fr3_warp.mat"))
 
 
+def test_video_phase_pwc_ckpt_restore(workdir, capsys):
+    """--pwc_ckpt end-to-end: export_pwcnet -> write_bundle -> convert.cli ->
+    FISR_for_video restores it and produces different outputs than fresh init
+    (the reference restores its flow ckpt at model_base.py:115-191, wired
+    from main.py:211)."""
+    import jax
+
+    from fisr_tpu.convert import tf_import
+    from fisr_tpu.convert.cli import main as convert_main
+    from fisr_tpu.convert.tensor_bundle import write_bundle
+    from fisr_tpu.data.png_io import read_png
+    from fisr_tpu.models import pwcnet
+
+    root = workdir["root"]
+    # a PWC whose weights differ from the CLI's fresh-init PRNGKey(1)
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(42))
+    bundle_prefix = str(root / "pwc_tf" / "pwcnet.ckpt-595000")
+    os.makedirs(str(root / "pwc_tf"), exist_ok=True)
+    write_bundle(bundle_prefix, tf_import.export_pwcnet(pwc_params), crc=False)
+    ckpt_dir = str(root / "ckpt" / "pwcnet_conv")
+    convert_main(["--model", "pwcnet", "--ckpt", bundle_prefix,
+                  "--out", ckpt_dir, "--step", "595000"])
+
+    base = _common_args(workdir) + [
+        "--phase", "FISR_for_video",
+        "--frame_folder_path", workdir["video"],
+        "--FISR_input_size", "64", "64",
+        "--FISR_test_patch", "1", "1",
+        "--frame_num", "3",
+    ]
+    capsys.readouterr()
+    cli_main(base + ["--video_out_dir", str(root / "vid_fresh")])
+    out_fresh = capsys.readouterr().out
+    assert "WARNING: no PWC-Net checkpoint" in out_fresh
+    cli_main(base + ["--video_out_dir", str(root / "vid_ckpt"),
+                     "--pwc_ckpt", ckpt_dir])
+    out_ckpt = capsys.readouterr().out
+    assert "restored PWC-Net checkpoint step 595000" in out_ckpt
+
+    fresh = sorted(glob.glob(str(root / "vid_fresh" / "pred_[0-9]*.png")))
+    ckpt = sorted(glob.glob(str(root / "vid_ckpt" / "pred_[0-9]*.png")))
+    assert len(fresh) == len(ckpt) == 3
+    # different flow weights must condition the interpolated frames
+    # differently (frame 0 is the SR of the same input — compare frame 1)
+    assert not np.array_equal(read_png(fresh[1]), read_png(ckpt[1]))
+
+    # a --pwc_ckpt pointing nowhere must fail loudly, not run on noise
+    with pytest.raises(FileNotFoundError):
+        cli_main(base + ["--pwc_ckpt", str(root / "does_not_exist")])
+
+
+def test_fisrnet_conversion_dress_rehearsal(workdir, capsys):
+    """The day-weights-arrive path, automated: a full-size FISRnet exported
+    to a TF1 TensorBundle, converted via convert.cli, restored by --phase
+    test — metrics must equal a direct-checkpoint run to float tolerance
+    (reference restore path: FISRnet.py:747-760)."""
+    import jax
+
+    from fisr_tpu.convert import tf_import
+    from fisr_tpu.convert.cli import main as convert_main
+    from fisr_tpu.convert.tensor_bundle import write_bundle
+    from fisr_tpu.models import fisrnet
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    root = workdir["root"]
+    params = fisrnet.init_params(jax.random.PRNGKey(7))
+
+    # direct path: params straight into an experiment checkpoint
+    CheckpointManager(str(root / "ckpt" / "FISRnet_exp8")).save(
+        122000, {"params": params})
+    # bundle path: export -> TF1 TensorBundle -> convert.cli -> experiment dir
+    bundle_prefix = str(root / "fisr_tf" / "FISRnet-122000")
+    os.makedirs(str(root / "fisr_tf"), exist_ok=True)
+    write_bundle(bundle_prefix, tf_import.export_fisrnet(params), crc=False)
+    convert_main(["--model", "fisrnet", "--ckpt", bundle_prefix,
+                  "--out", str(root / "ckpt" / "FISRnet_exp9"),
+                  "--step", "122000"])
+    capsys.readouterr()
+
+    direct = cli_main(["--phase", "test", "--exp_num", "8"] + _common_args(workdir))
+    converted = cli_main(["--phase", "test", "--exp_num", "9"] + _common_args(workdir))
+    out = capsys.readouterr().out
+    assert out.count("restored checkpoint step 122000") == 2
+    assert converted.psnr_sr == pytest.approx(direct.psnr_sr, abs=1e-4)
+    assert converted.psnr_vfi_sr == pytest.approx(direct.psnr_vfi_sr, abs=1e-4)
+    assert converted.ssim_sr == pytest.approx(direct.ssim_sr, abs=1e-5)
+
+
 def test_test_phase_fast_engine(workdir, capsys):
     """--eval_engine fast routes eval through the fully-jitted device path;
     metrics must agree with the exact engine to tiling-approximation noise."""

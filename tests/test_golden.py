@@ -19,6 +19,25 @@ GOLDEN = {
     "fisr_p2_mean": -1.1426401138305664,
     "pwc_flow_mean": -0.7857347726821899,
     "pwc_flow_std": 1.1403286457061768,
+    # BIT-EXACT f32 CPU output slices (recorded round 3): unlike the
+    # statistics above, these catch compensating-error changes — e.g. a
+    # sign-symmetric perturbation that leaves mean/std intact. Recorded
+    # under the suite's exact env (JAX_PLATFORMS=cpu + 8 virtual devices —
+    # thread/device config changes XLA CPU reduction splits at the 1e-4
+    # level, so regeneration must use tests/conftest.py's flags); verified
+    # deterministic in-process and across processes there.
+    "fisr_p3_slice": [-13.040554, -102.99095, 6.8660936, -28.51501,
+                      -50.736557, -48.204803, -5.244507, -30.506393,
+                      -9.579147, -105.48127, -2.5797863, -32.999092,
+                      -31.08945, -87.408806, -9.607002, -0.07026243,
+                      -52.423664, -36.64991, 18.1445, -4.74817,
+                      -44.23657, -95.621544, 3.2375612, 8.053518],
+    "fisr_p1_slice": [0.044161066, 0.0629617, 0.3382005, 0.24491823,
+                      1.40632, -0.33657444, -0.7033371, -0.77859485,
+                      -0.082738, -1.1199441, 2.6228442, -0.37336063],
+    "pwc_flow_slice": [-2.7303617, -2.118375, -2.442496, -2.226571,
+                       -2.1546304, -2.334767, -2.1503491, -2.5062752,
+                       -1.8434064, -2.6788847, -1.5364639, -2.8514943],
 }
 
 
@@ -30,6 +49,12 @@ def test_fisrnet_forward_golden():
     np.testing.assert_allclose(float(jnp.std(p3)), GOLDEN["fisr_p3_std"], rtol=1e-4)
     np.testing.assert_allclose(float(jnp.mean(p1)), GOLDEN["fisr_p1_mean"], rtol=1e-3)
     np.testing.assert_allclose(float(jnp.mean(p2)), GOLDEN["fisr_p2_mean"], rtol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(p3)[0, 5:7, 9:12, :4].ravel(),
+        np.array(GOLDEN["fisr_p3_slice"], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(p1)[0, 3:5, 2:4, :3].ravel(),
+        np.array(GOLDEN["fisr_p1_slice"], np.float32))
 
 
 def test_pwcnet_forward_golden():
@@ -41,3 +66,6 @@ def test_pwcnet_forward_golden():
     flow, _ = pwcnet.apply(pp, a, b, cfg)
     np.testing.assert_allclose(float(jnp.mean(flow)), GOLDEN["pwc_flow_mean"], rtol=1e-4)
     np.testing.assert_allclose(float(jnp.std(flow)), GOLDEN["pwc_flow_std"], rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(flow)[0, 4:6, 6:9, :].ravel(),
+        np.array(GOLDEN["pwc_flow_slice"], np.float32))

@@ -93,10 +93,50 @@ def test_pwc_fit_end_to_end(tmp_path):
     ds = FlowDataset.synthetic(n=6, h=32, w=32, val_split=0.34)
     state = pwc_fit(ds, str(tmp_path / "ck"), steps=4, batch_size=2,
                     val_every=4, display_every=2, cfg=CFG,
-                    schedule_fn=schedule.no_decay(1e-4))
+                    schedule_fn=schedule.no_decay(1e-4),
+                    log_dir=str(tmp_path / "tb"))
     assert int(state.step) == 4
     import glob
     assert glob.glob(str(tmp_path / "ck" / "step_*"))
+    # TB observability: scalar + flow-panel image events were written
+    # (logger.py:132-177 parity); PNG image payloads start with \x89PNG
+    events = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert events
+    blob = open(events[0], "rb").read()
+    assert b"train/loss" in blob and b"val/EPE" in blob
+    assert b"val/flow_panel" in blob and b"\x89PNG" in blob
+
+
+def test_flow_panel_composer():
+    """flow_panel/flow_panels: tile layout, dtype, shared flow normalization
+    (visualize.plot_img_pairs_w_flows parity, visualize.py:18+)."""
+    from fisr_tpu.utils.flow_viz import flow_panel, flow_panels, flow_to_img
+
+    rng = np.random.default_rng(0)
+    h, w, pad = 12, 16, 2
+    img1 = rng.uniform(size=(h, w, 3))
+    img2 = rng.uniform(size=(h, w, 3))
+    flow = rng.normal(size=(h, w, 2)).astype(np.float32)
+    gt = rng.normal(size=(h, w, 2)).astype(np.float32)
+
+    row = flow_panel(img1, img2, flow)  # 3 tiles
+    assert row.dtype == np.uint8 and row.shape == (h, 3 * w + 2 * pad, 3)
+    # tile 0 is img1, tile 2 is the color-wheel rendering at flow's own max
+    np.testing.assert_array_equal(row[:, :w], (img1 * 255).astype(np.uint8))
+    mag_max = float(np.max(np.sqrt(np.sum(flow.astype(np.float64) ** 2, -1))))
+    np.testing.assert_array_equal(row[:, 2 * (w + pad):],
+                                  flow_to_img(flow, flow_mag_max=mag_max))
+
+    full = flow_panel(img1, img2, flow, warped=img2, flow_gt=gt)  # 5 tiles
+    assert full.shape == (h, 5 * w + 4 * pad, 3)
+    # pred and gt share one normalization: gt tile uses the joint max
+    joint = max(mag_max, float(np.max(np.sqrt(np.sum(gt.astype(np.float64) ** 2, -1)))))
+    np.testing.assert_array_equal(full[:, 4 * (w + pad):],
+                                  flow_to_img(gt, flow_mag_max=joint))
+
+    batch = flow_panels(np.stack([np.stack([img1, img2])] * 3),
+                        np.stack([flow] * 3), flow_gts=np.stack([gt] * 3))
+    assert batch.shape == (3 * h + 2 * pad, 4 * w + 3 * pad, 3)
 
 
 def test_augment_scale_flow_consistency():
