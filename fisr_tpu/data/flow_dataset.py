@@ -136,6 +136,72 @@ class FlowDataset:
             flows[i, :, :, 1] = v
         return cls(pairs, flows, **kw)
 
+    @classmethod
+    def synthetic_textured(cls, n: int = 512, h: int = 128, w: int = 128,
+                           seed: int = 0, max_shift: float = 4.0,
+                           subpixel: bool = True, **kw) -> "FlowDataset":
+        """Multi-octave noise textures + uniform translations (GT = shift).
+
+        The sinusoid corpus above is feature-poor (one frequency per
+        channel), which is why from-scratch PWC training descends on the
+        loss but never beats the zero-flow EPE baseline (PERF.md round-2
+        caveat). This corpus has dense local structure at several scales —
+        the minimum for COST-VOLUME MATCHING to be learnable: coarse
+        octaves give the top pyramid levels unambiguous context, fine
+        octaves give subpixel precision at the bottom.
+
+        Pairs are two crops of one larger canvas offset by the flow, so
+        shifted content is real (no wrap seams); subpixel=True draws
+        continuous shifts realized by bilinear resampling (the GT flow
+        stays exact).
+        """
+        rng = np.random.default_rng(seed)
+        pad = int(np.ceil(max_shift)) + 1
+        ch, cw = h + 2 * pad, w + 2 * pad
+
+        def zoom(a, hh, ww):
+            """Bilinear resize [gh, gw, 3] -> [hh, ww, 3] (numpy only)."""
+            ys = np.linspace(0, a.shape[0] - 1, hh)
+            xs = np.linspace(0, a.shape[1] - 1, ww)
+            y0 = np.floor(ys).astype(int)
+            x0 = np.floor(xs).astype(int)
+            y1 = np.minimum(y0 + 1, a.shape[0] - 1)
+            x1 = np.minimum(x0 + 1, a.shape[1] - 1)
+            wy = (ys - y0)[:, None, None]
+            wx = (xs - x0)[None, :, None]
+            return (a[y0][:, x0] * (1 - wy) * (1 - wx)
+                    + a[y0][:, x1] * (1 - wy) * wx
+                    + a[y1][:, x0] * wy * (1 - wx)
+                    + a[y1][:, x1] * wy * wx)
+
+        pairs = np.zeros((n, 2, h, w, 3), np.uint8)
+        flows = np.zeros((n, h, w, 2), np.float32)
+        for i in range(n):
+            canvas = np.zeros((ch, cw, 3))
+            # octaves: coarse blobs -> fine grain, amplitudes decaying
+            for cell, amp in ((16, 0.45), (8, 0.25), (4, 0.2), (2, 0.1)):
+                g = rng.uniform(size=(ch // cell + 2, cw // cell + 2, 3))
+                canvas += amp * zoom(g, ch, cw)
+            canvas = (canvas - canvas.min()) / (np.ptp(canvas) + 1e-9)
+            if subpixel:
+                u, v = rng.uniform(-max_shift, max_shift, 2)
+            else:
+                u, v = rng.integers(-int(max_shift), int(max_shift) + 1, 2)
+            # img1(q) == img2(q + f): img2 is the canvas window shifted by -f
+            iu, iv = int(np.floor(u)), int(np.floor(v))
+            fu, fv = u - iu, v - iv
+            base = canvas[pad - iv - 1 : pad - iv + h + 1,
+                          pad - iu - 1 : pad - iu + w + 1]
+            img2 = (base[1:h + 1, 1:w + 1] * (1 - fv) * (1 - fu)
+                    + base[1:h + 1, 0:w] * (1 - fv) * fu
+                    + base[0:h, 1:w + 1] * fv * (1 - fu)
+                    + base[0:h, 0:w] * fv * fu)
+            pairs[i, 0] = (canvas[pad : pad + h, pad : pad + w] * 255).astype(np.uint8)
+            pairs[i, 1] = np.clip(img2 * 255, 0, 255).astype(np.uint8)
+            flows[i, :, :, 0] = u
+            flows[i, :, :, 1] = v
+        return cls(pairs, flows, **kw)
+
     # -- iteration ---------------------------------------------------------
     def _sample(self, idx: int, train: bool):
         x = self.pairs[idx].astype(np.float32)

@@ -143,7 +143,8 @@ def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
         for ph in range(gh) for pw in range(gw)
     ]
     pred = fisrnet.apply(params, jnp.concatenate(patches, 0), sf, policy,
-                         final_stale_halo=stale, fast_upsample=True)[2]
+                         final_stale_halo=stale, fast_upsample=True,
+                         fuse_input_glue=True)[2]
     rem = 8  # stale ring left on pred after the mid-pipeline shrink
     th = (rem if stale else bh) * sf
     tw = (rem if stale else bw) * sf

@@ -38,12 +38,14 @@ from fisr_tpu.ops.conv import (
     Policy,
     bottleneck,
     conv2d,
+    conv_in_fused,
     dec_level,
     depth_to_space,
     enc_level,
     head_tail_conv,
     init_conv,
     init_res_block,
+    max_pool_2x2,
     res_block,
 )
 from fisr_tpu.ops.resize import downsample_int
@@ -164,7 +166,8 @@ _TAIL_HEADS = 8
 
 
 def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32,
-                stale_halo: int = 0, fast_upsample: bool = False) -> jnp.ndarray:
+                stale_halo: int = 0, fast_upsample: bool = False,
+                extra: jnp.ndarray = None, in_stride: int = 1) -> jnp.ndarray:
     """One U-Net level: x [B, h, w, C] -> prediction [B, h*sf, w*sf, 9].
 
     stale_halo: if the caller tiled the frame and x carries a `stale_halo`-px
@@ -181,13 +184,27 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32,
     conv (ops/conv.up_conv2x) — exact except the last two output rows/cols
     at the frame border; inference paths opt in, training keeps the exact
     composition.
+
+    extra / in_stride: inference-path input-glue fusion (ops/conv.
+    conv_in_fused). The level's TRUE input is
+    concat([downsample_int(x, in_stride), extra], -1); the fused form
+    computes the same conv_in without materializing either intermediate
+    (math-identical, summation order aside — measured -17 ms/4K pass on
+    v5e). Default (extra=None, in_stride=1) keeps the exact composed path.
     """
     x = policy.cast(x)
-    n, skip0 = enc_level(p["enc"]["level_0"], x, policy)
+    h, w = x.shape[1] // in_stride, x.shape[2] // in_stride
+    if extra is not None or in_stride != 1:
+        e0 = p["enc"]["level_0"]
+        n = conv_in_fused(e0["conv_in"], x, extra, policy, in_stride)
+        n = res_block(e0["res0"], n, policy)
+        skip0 = jax.nn.relu(res_block(e0["res1"], n, policy))
+        n = max_pool_2x2(skip0)
+    else:
+        n, skip0 = enc_level(p["enc"]["level_0"], x, policy)
     n, skip1 = enc_level(p["enc"]["level_1"], n, policy)
     n, skip2 = enc_level(p["enc"]["level_2"], n, policy)
     n = bottleneck(p["bottleneck"], n, policy)
-    h, w = x.shape[1], x.shape[2]
     # dec2 keeps the exact composition even in fast mode: its 1-px border
     # deviation lives at 1/4 scale (4 full px) and the ~30-px downstream
     # receptive tail would carry it past a 32-px halo ring into patch cores;
@@ -214,7 +231,8 @@ def apply_level(p: Params, x: jnp.ndarray, sf: int = 2, policy: Policy = F32,
 
 
 def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32,
-          final_stale_halo: int = 0, fast_upsample: bool = False):
+          final_stale_halo: int = 0, fast_upsample: bool = False,
+          fuse_input_glue: bool = False):
     """Full 3-level stack. img: [B, H, W, 29] (H, W multiples of 32).
 
     Returns (pred_l1, pred_l2, pred_l3) at resolutions (H/2, H, 2H) — parity
@@ -225,6 +243,14 @@ def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32,
     3 may shrink mid-pipeline (levels 1/2 keep it: their predictions feed the
     next level's input concat and must stay full-size). pred_l3 then carries
     a 6*sf-px stale ring instead of final_stale_halo*sf.
+
+    fuse_input_glue: inference-path rewrite of ALL the inter-level input
+    glue (ops/conv.conv_in_fused): the x1/4 and x1/2 strided-slice
+    downsamples become strided dilated input convs reading img directly,
+    and the level-2/3 [img | prev-pred] channel concats become split
+    convs. Math-identical (summation order aside); measured 208 -> 189 ms
+    on the (4,6)-tiled 4K pass (PERF.md round 3). Training keeps the
+    composed reference formulation.
     """
     # fast_upsample stays OFF for levels 1/2: their internal scales are 1/4
     # to 1/16 of the window, so the folded upconv's 1-px border deviation
@@ -232,6 +258,15 @@ def apply(params: Params, img: jnp.ndarray, sf: int = 2, policy: Policy = F32,
     # every level-3 pixel. Level 3's dec1/dec0 deviations stay inside the
     # discardable halo ring (see apply_level).
     img = policy.cast(img)
+    if fuse_input_glue:
+        pred_l1 = apply_level(params["level_1"], img, sf, policy, in_stride=4)
+        pred_l2 = apply_level(params["level_2"], img, sf, policy,
+                              extra=pred_l1, in_stride=2)
+        pred_l3 = apply_level(params["level_3"], img, sf, policy,
+                              stale_halo=final_stale_halo,
+                              fast_upsample=fast_upsample, extra=pred_l2)
+        return pred_l1, pred_l2, pred_l3
+
     img_l1 = downsample_int(img, 4)
     pred_l1 = apply_level(params["level_1"], img_l1, sf, policy)
 

@@ -29,6 +29,7 @@ Params = Dict[str, Any]
 __all__ = [
     "Policy",
     "conv2d",
+    "conv_in_fused",
     "res_block",
     "enc_level",
     "bottleneck",
@@ -114,6 +115,52 @@ def enc_level(p: Params, x: jnp.ndarray, policy: Policy = F32):
     n = jax.nn.relu(res_block(p["res1"], n, policy))
     skip = n
     return max_pool_2x2(n), skip
+
+
+def conv_in_fused(p: Params, img: jnp.ndarray, extra: jnp.ndarray | None,
+                  policy: Policy = F32, img_stride: int = 1) -> jnp.ndarray:
+    """`conv2d(p, concat([downsample_int(img, img_stride), extra], -1))`
+    with neither the channel concat nor the strided-slice downsample ever
+    materialized — the round-3 input-glue rewrite of the tiled 4K pass.
+
+    Two math-identical transforms (deviations are summation-order only):
+
+    * split conv: conv is linear in input channels, so the K=(Ci+Ce) conv
+      over the concat equals conv(img, w[:, :, :Ci]) + conv(extra,
+      w[:, :, Ci:]). Skipping the 38-ch concat measured -8 ms/4K pass on
+      v5e (the K=38 conv also tiles better as K=29 + K=9 — PERF.md r3).
+    * fused downsample: a 3x3 SAME conv on img[::k, ::k] equals the same
+      conv on full-res img with window_strides=k, rhs_dilation=k and
+      explicit padding (k, k): output i reads taps x[ki-k], x[ki], x[ki+k]
+      == the subsampled grid's taps, and the k-zero pad reproduces the
+      SAME-pad zeros. Skipping the strided-slice intermediates measured
+      another -9 ms (lane-dim stride-4 slices are relayout-heavy).
+
+    Inference-path only (infer/device.tiled_apply & co); the training
+    graph keeps the composed ops so autodiff and checkpoints see the
+    reference formulation (FISRnet.py:116,147 concats).
+    """
+    ci = img.shape[-1]
+    w = p["w"]
+    dn = ("NHWC", "HWIO", "NHWC")
+    wa = w[:, :, :ci].astype(policy.compute_dtype)
+    img = policy.cast(img)
+    if img_stride == 1:
+        out = jax.lax.conv_general_dilated(
+            img, wa, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=policy.compute_dtype)
+    else:
+        k = img_stride
+        out = jax.lax.conv_general_dilated(
+            img, wa, (k, k), [(k, k), (k, k)], rhs_dilation=(k, k),
+            dimension_numbers=dn,
+            preferred_element_type=policy.compute_dtype)
+    if extra is not None:
+        wb = w[:, :, ci:].astype(policy.compute_dtype)
+        out = out + jax.lax.conv_general_dilated(
+            policy.cast(extra), wb, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=policy.compute_dtype)
+    return out + p["b"].astype(policy.compute_dtype)
 
 
 def bottleneck(p: Params, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray:

@@ -1,0 +1,76 @@
+"""Input-glue fusion (ops/conv.conv_in_fused, fisrnet fuse_input_glue).
+
+The round-3 rewrite of the tiled 4K pass's inter-level glue: strided-slice
+downsamples become strided dilated convs, channel concats become split
+convs. Both are exact linear-algebra identities — these tests pin the
+equivalence at f32 so any future change that breaks the identity (padding
+semantics, weight slicing, stride bookkeeping) fails loudly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fisr_tpu.models import fisrnet
+from fisr_tpu.ops.conv import F32, conv2d, conv_in_fused, init_conv
+from fisr_tpu.ops.resize import downsample_int
+
+
+def test_conv_in_fused_strided_equals_downsample_conv():
+    """3x3 SAME conv on x[::k, ::k] == strided dilated conv on x, exactly
+    (same taps, same zero padding)."""
+    p = init_conv(jax.random.PRNGKey(0), 3, 7, 11)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 64, 7), jnp.float32)
+    for k in (2, 4):
+        want = np.asarray(conv2d(p, downsample_int(x, k), F32))
+        got = np.asarray(conv_in_fused(p, x, None, F32, img_stride=k))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_conv_in_fused_split_equals_concat_conv():
+    """conv(concat([a, b], -1)) == conv(a, w[:ca]) + conv(b, w[ca:])."""
+    p = init_conv(jax.random.PRNGKey(2), 3, 29 + 9, 16)
+    a = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 40, 29), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 40, 9), jnp.float32)
+    want = np.asarray(conv2d(p, jnp.concatenate([a, b], -1), F32))
+    got = np.asarray(conv_in_fused(p, a, b, F32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_in_fused_split_and_strided_together():
+    p = init_conv(jax.random.PRNGKey(5), 3, 29 + 9, 16)
+    img = jax.random.normal(jax.random.PRNGKey(6), (1, 64, 80, 29), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 40, 9), jnp.float32)
+    want = np.asarray(conv2d(
+        p, jnp.concatenate([downsample_int(img, 2), b], -1), F32))
+    got = np.asarray(conv_in_fused(p, img, b, F32, img_stride=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_apply_fuse_input_glue_matches_composed():
+    """Full 3-level apply with fuse_input_glue: all three level outputs must
+    match the composed path to summation-order noise (measured ~1e-11 at
+    contractive scale, ~5e-7 relative at raw glorot scale on CPU f32)."""
+    params = fisrnet.init_params(jax.random.PRNGKey(15))
+    x = jax.random.uniform(jax.random.PRNGKey(14), (1, 96, 128, 29), jnp.float32)
+    ref = fisrnet.apply(params, x, 2, F32)
+    got = fisrnet.apply(params, x, 2, F32, fuse_input_glue=True)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        scale = np.abs(r).max()
+        # raw-glorot amplification puts reorder noise at ~5e-6 relative;
+        # a structural break (padding/stride/slice bug) would be O(1)
+        assert np.abs(r - g).max() <= 2e-5 * scale, (np.abs(r - g).max(), scale)
+
+
+def test_apply_fuse_input_glue_with_stale_halo():
+    """The fused path composes with the stale-halo shrink + fast upsample
+    (the exact configuration infer/device.tiled_apply traces)."""
+    params = fisrnet.init_params(jax.random.PRNGKey(16))
+    params = jax.tree_util.tree_map(lambda t: t * 0.15, params)
+    x = jax.random.uniform(jax.random.PRNGKey(17), (1, 160, 160, 29), jnp.float32)
+    ref = np.asarray(fisrnet.apply(params, x, 2, F32, final_stale_halo=32,
+                                   fast_upsample=True)[2])
+    got = np.asarray(fisrnet.apply(params, x, 2, F32, final_stale_halo=32,
+                                   fast_upsample=True, fuse_input_glue=True)[2])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)

@@ -107,6 +107,32 @@ def test_pwc_fit_end_to_end(tmp_path):
     assert b"val/flow_panel" in blob and b"\x89PNG" in blob
 
 
+def test_synthetic_textured_corpus():
+    """The matching-learnable corpus: GT flow is the exact shift (warp
+    identity holds on the interior) and textures carry multi-scale energy."""
+    import jax.numpy as jnp
+
+    from fisr_tpu.data.flow_dataset import FlowDataset
+    from fisr_tpu.ops.warp import dense_image_warp
+
+    ds = FlowDataset.synthetic_textured(n=4, h=64, w=64, seed=3, max_shift=4)
+    assert ds.pairs.shape == (4, 2, 64, 64, 3) and ds.pairs.dtype == np.uint8
+    x = ds.pairs.astype(np.float32) / 255.0
+    # uniform flow per sample, within range
+    assert np.all(ds.flows == ds.flows[:, :1, :1])
+    assert np.abs(ds.flows).max() <= 4.0
+    # img1(q) == img2(q + f): backward-warp img2 by the GT flow -> img1
+    # (tolerance = uint8 quantization + double bilinear interpolation)
+    warped = np.asarray(dense_image_warp(jnp.asarray(x[:, 1]),
+                                         jnp.asarray(ds.flows)))
+    err = np.abs(warped[:, 6:-6, 6:-6] - x[:, 0, 6:-6, 6:-6]).max()
+    assert err < 0.08, err
+    # dense local structure (the sinusoid corpus fails this at fine scales)
+    assert x[:, 0].std() > 0.1
+    grad = np.abs(np.diff(x[:, 0], axis=2)).mean()
+    assert grad > 0.005, grad
+
+
 def test_flow_panel_composer():
     """flow_panel/flow_panels: tile layout, dtype, shared flow normalization
     (visualize.plot_img_pairs_w_flows parity, visualize.py:18+)."""
