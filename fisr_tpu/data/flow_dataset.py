@@ -218,14 +218,44 @@ class FlowDataset:
         return x / 255.0, y
 
     def batches(self, batch_size: int, train: bool = True,
-                epoch_seed: int = 0) -> Iterator[dict]:
+                epoch_seed: int = 0, num_workers: int = 0) -> Iterator[dict]:
+        """Batch iterator; num_workers > 0 assembles upcoming batches on a
+        thread pool with a small lookahead — the analog of the reference's
+        threaded tf.data feeder (dataset_base.py:1032-1083, tf.py_func
+        under map_and_batch). Augmentation RNG draws happen on the
+        submitting thread order, so worker count does not change the
+        sample stream.
+        """
         idxs = self._train_idx if train else self._val_idx
         if train:
             idxs = np.random.default_rng(epoch_seed).permutation(idxs)
-        for i in range(0, len(idxs) - batch_size + 1, batch_size):
-            xs, ys = zip(*(self._sample(j, train) for j in idxs[i : i + batch_size]))
-            yield {"x": np.stack(xs).astype(np.float32),
-                   "y": np.stack(ys).astype(np.float32)}
+        starts = range(0, len(idxs) - batch_size + 1, batch_size)
+
+        def assemble(batch_idxs, samples=None):
+            xs, ys = zip(*(samples or (self._sample(j, train) for j in batch_idxs)))
+            return {"x": np.stack(xs).astype(np.float32),
+                    "y": np.stack(ys).astype(np.float32)}
+
+        if num_workers <= 0:
+            for i in starts:
+                yield assemble(idxs[i : i + batch_size])
+            return
+
+        # _sample mutates self._rng: draw samples serially on submit order,
+        # stack on the pool (the expensive part for big batches), keep a
+        # bounded lookahead so memory stays ~2 batches
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            pending = deque()
+            for i in starts:
+                samples = [self._sample(j, train) for j in idxs[i : i + batch_size]]
+                pending.append(pool.submit(assemble, None, samples))
+                if len(pending) > num_workers + 1:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     @property
     def train_size(self) -> int:

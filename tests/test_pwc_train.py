@@ -107,6 +107,26 @@ def test_pwc_fit_end_to_end(tmp_path):
     assert b"val/flow_panel" in blob and b"\x89PNG" in blob
 
 
+def test_threaded_batches_match_serial():
+    """num_workers>0 (the tf.data-feeder analog, dataset_base.py:1032-1083)
+    must yield the exact same batch stream as the serial path — augmentation
+    RNG draws happen on submit order either way."""
+    from fisr_tpu.data.augment import AugmentOptions
+    from fisr_tpu.data.flow_dataset import FlowDataset
+
+    def make():
+        return FlowDataset.synthetic_textured(
+            n=10, h=40, w=40, seed=5, crop_hw=(32, 32),
+            aug=AugmentOptions(), val_split=0.2)
+
+    serial = list(make().batches(2, train=True, epoch_seed=1))
+    threaded = list(make().batches(2, train=True, epoch_seed=1, num_workers=3))
+    assert len(serial) == len(threaded) == 4
+    for s, t in zip(serial, threaded):
+        np.testing.assert_array_equal(s["x"], t["x"])
+        np.testing.assert_array_equal(s["y"], t["y"])
+
+
 def test_synthetic_textured_corpus():
     """The matching-learnable corpus: GT flow is the exact shift (warp
     identity holds on the interior) and textures carry multi-scale energy."""
