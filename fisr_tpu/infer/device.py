@@ -196,7 +196,8 @@ def make_device_runner(mode: str = "full", grid: Tuple[int, int] = (2, 2),
 
     if mode == "full":
         def run(params, x):
-            return fisrnet.apply(params, x, sf, policy)[2]
+            return fisrnet.apply(params, x, sf, policy,
+                                 fuse_input_glue=True)[2]
 
         return jax.jit(run)
 

@@ -6,8 +6,15 @@ TPU-native equivalent of the missing upstream `losses.pwcnet_loss`
 * multiscale — per pyramid level l (top level 6 first, matching the model's
   flow_pyr order), alpha_l * mean-over-batch of the summed L2 norm between
   the level's predicted flow and the GT flow bilinearly resized to the
-  level's resolution and divided by 20 (the supervision scaling of the
-  original paper);
+  level's resolution and divided by the SPATIAL DOWNSCALE RATIO (2^l) —
+  i.e. pyramid flows are supervised in level-pixel units. Evidence for the
+  convention: the reference converts its level-2 flow to full-res pixels
+  with `* 2**flow_pred_lvl` (model_pwcnet.py:1586-1590), which is only
+  unit-correct under per-level-pixel supervision (upstream tfoptflow
+  losses.py scales gt by gt_height/lvl_height the same way). Round-3 bug
+  fix: dividing by the original paper's 20 instead made every trained
+  prediction 20/2^flow_pred_lvl = 5x too small after the reference's x4
+  upsample — val EPE could never beat ~0.8x the zero-flow baseline;
 * robust     — same structure with (|dx|+|dy| + epsilon)^q instead of the
   L2 norm (used for fine-tuning);
 * plus the gamma * L2 weight-decay term the reference adds via
@@ -29,7 +36,9 @@ __all__ = ["pwcnet_loss", "epe"]
 
 
 def _level_gt(y: jnp.ndarray, hw) -> jnp.ndarray:
-    return resize_tf1(y, hw, "bilinear") / 20.0
+    # gt in level-pixel units: downscale values by the spatial ratio
+    # (upstream losses.py: scaled_flow_gt /= gt_height / lvl_height)
+    return resize_tf1(y, hw, "bilinear") * (float(hw[0]) / float(y.shape[1]))
 
 
 def pwcnet_loss(

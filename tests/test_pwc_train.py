@@ -19,15 +19,33 @@ CFG = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
 def test_pwcnet_loss_zero_for_perfect_prediction():
     rng = np.random.default_rng(0)
     y = rng.normal(size=(1, 32, 32, 2)).astype(np.float32) * 4
-    # pyramid that equals the downscaled gt/20 at every level -> zero loss
+    # pyramid that equals the downscaled gt in LEVEL-pixel units (values
+    # scaled by the spatial ratio — the reference's x2^flow_pred_lvl
+    # output conversion, model_pwcnet.py:1586-1590) -> zero loss
     from fisr_tpu.ops.resize import resize_tf1
 
-    pyr = [np.asarray(resize_tf1(y, (32 // 2**l, 32 // 2**l), "bilinear")) / 20.0
+    pyr = [np.asarray(resize_tf1(y, (32 // 2**l, 32 // 2**l), "bilinear")) / 2**l
            for l in (4, 3, 2)]
     loss = float(pwcnet_loss(y, pyr, None, alphas=(0.02, 0.01, 0.005)))
     assert loss < 1e-3
     wrong = [p + 1.0 for p in pyr]
     assert float(pwcnet_loss(y, wrong, None, alphas=(0.02, 0.01, 0.005))) > loss
+
+
+def test_loss_units_match_output_conversion():
+    """The unit contract that broke round-2 training: the loss supervises
+    level-l flow in LEVEL-pixel units (gt values scaled by 2^-l), so the
+    model's final `resize * 2**flow_pred_lvl` conversion
+    (model_pwcnet.py:1586-1590 parity) recovers full-res pixel flow. A
+    perfectly supervised level-2 flow must round-trip to the original gt."""
+    from fisr_tpu.ops.resize import resize_tf1
+    from fisr_tpu.train.pwc_loss import _level_gt
+
+    y = np.full((1, 32, 32, 2), 4.0, np.float32)  # constant 4-px flow
+    gt_l2 = np.asarray(_level_gt(jnp.asarray(y), (8, 8)))
+    np.testing.assert_allclose(gt_l2, 1.0, rtol=1e-6)  # 4 px / 2^2
+    back = np.asarray(resize_tf1(jnp.asarray(gt_l2), (32, 32), "bilinear")) * 4
+    np.testing.assert_allclose(back, y, rtol=1e-6)
 
 
 def test_epe():
