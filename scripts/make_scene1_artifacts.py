@@ -23,24 +23,39 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main():
+    import argparse
+
     from fisr_tpu.cli import main as cli
     from fisr_tpu.data.png_io import read_png
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pwc_ckpt", default=None,
+                    help="trained/converted PWC checkpoint dir for the flow "
+                         "stage (e.g. checkpoint_dir/pwcnet_synth); default "
+                         "= fresh init with the CLI's loud warning")
+    args = ap.parse_args()
+
     tmp = tempfile.mkdtemp(prefix="scene1_")
-    cli.main([
+    cli_args = [
         "--phase", "FISR_for_video", "--frame_folder_path", SCENE,
         "--video_out_dir", tmp, "--FISR_input_size", "1080", "1920",
         "--frame_num", "5", "--fused", "--compute_dtype", "bfloat16",
-    ])
+    ]
+    if args.pwc_ckpt:
+        cli_args += ["--pwc_ckpt", args.pwc_ckpt]
+    cli.main(cli_args)
 
     os.makedirs(OUT, exist_ok=True)
+    pwc_desc = (f"PWC-Net restored from {args.pwc_ckpt} (synthetic-corpus "
+                "trained, see PERF.md)" if args.pwc_ckpt else
+                "PRNGKey(1) fresh init (RANDOM flow)")
     rec = {
         "inputs": "reference FISR_test_folder/scene1 (5 real 1080x1920 YUV PNGs)",
         "pipeline": "FISR_for_video --fused (PWC flow + warp + FISRnet, one XLA program/window)",
-        "weights": ("seeded fresh init (PRNGKey(0) fisr / PRNGKey(1) pwc) - "
-                    "released TF weights are an external download not present "
-                    "in this environment; swap in convert.cli output when "
-                    "available"),
+        "weights": (f"FISRnet: seeded fresh init PRNGKey(0); flow: {pwc_desc}. "
+                    "The released TF weights are an external download not "
+                    "present in this environment; swap in convert.cli output "
+                    "when available"),
         "device": "TPU v5e (axon), bf16 policy",
         "outputs": {},
     }
