@@ -64,9 +64,9 @@ def main():
         d = pe - pf
         mse = float(np.mean(np.square(d)))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-        ssim = float(M.ssim(jnp.asarray(pf[..., :3], jnp.float32) * 255,
-                            jnp.asarray(pe[..., :3], jnp.float32) * 255,
-                            max_val=255.0))
+        ssim = float(jnp.mean(M.ssim(jnp.asarray(pf[..., :3], jnp.float32) * 255,
+                                     jnp.asarray(pe[..., :3], jnp.float32) * 255,
+                                     max_val=255.0)))
         # deviation is confined to the frame-edge band: split it out
         b = 64 * 2  # 2x the halo, at output scale
         interior = np.abs(d[:, b:-b, b:-b])
