@@ -48,7 +48,8 @@ from fisr_tpu.ops.conv import F32, Policy
 from fisr_tpu.ops.resize import resize_tf1, upsample2x_bilinear
 from fisr_tpu.ops.warp import dense_image_warp
 
-__all__ = ["make_flow_fn", "make_warp_fn", "make_fused_video_step",
+__all__ = ["make_flow_fn", "make_warp_fn", "make_pair_fn",
+           "make_fisr_window_fn", "make_fused_video_step",
            "run_video_pipeline"]
 
 
@@ -63,6 +64,28 @@ def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     return x, (h, w)
 
 
+def _flow_core(params, yuv1, yuv2, cfg: pwcnet.PWCNetConfig, policy: Policy,
+               upscale: int):
+    """Bidirectional flow for a YUV pair (traceable core of make_flow_fn)."""
+    rgb = [yuv2rgb_matlab(y) / 255.0 for y in (yuv1, yuv2)]
+    h, w = rgb[0].shape[1], rgb[0].shape[2]
+    if upscale == 2:
+        rgb = [upsample2x_bilinear(r) for r in rgb]
+    elif upscale != 1:
+        rgb = [resize_tf1(r, (h * upscale, w * upscale), "bilinear") for r in rgb]
+    pair0, (hh, ww) = _pad_to(rgb[0], 2**cfg.pyr_lvls)
+    pair1, _ = _pad_to(rgb[1], 2**cfg.pyr_lvls)
+    # siamese pyramids are direction-independent: extract once, run the
+    # top-down estimation twice (saves ~2x21 ms per pair at video scale)
+    c1 = pwcnet.extract_features(params, pair0, cfg, policy)
+    c2 = pwcnet.extract_features(params, pair1, cfg, policy)
+    fwd, _ = pwcnet.apply_pyramids(params, c1, c2, cfg, policy)
+    bwd, _ = pwcnet.apply_pyramids(params, c2, c1, cfg, policy)
+    flows = jnp.stack([fwd[:, :hh, :ww], bwd[:, :hh, :ww]], axis=1)
+    # back to input resolution: spatial /upscale and magnitude /upscale
+    return resize_tf1(flows, (h, w), "bilinear") / float(upscale)
+
+
 def make_flow_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
                  policy: Policy = F32, upscale: int = 2):
     """Jitted bidirectional flow for a YUV frame pair.
@@ -70,28 +93,17 @@ def make_flow_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
     fn(pwc_params, yuv1, yuv2 [B,h,w,3] in [0,255]) ->
     flows [B, 2, h, w, 2] (fwd, bwd) in input-resolution pixel units.
     """
+    return jax.jit(lambda params, yuv1, yuv2:
+                   _flow_core(params, yuv1, yuv2, cfg, policy, upscale))
 
-    def fn(params, yuv1, yuv2):
-        rgb = [yuv2rgb_matlab(y) / 255.0 for y in (yuv1, yuv2)]
-        h, w = rgb[0].shape[1], rgb[0].shape[2]
-        if upscale == 2:
-            rgb = [upsample2x_bilinear(r) for r in rgb]
-        elif upscale != 1:
-            rgb = [resize_tf1(r, (h * upscale, w * upscale), "bilinear") for r in rgb]
-        pair0, (hh, ww) = _pad_to(rgb[0], 2**cfg.pyr_lvls)
-        pair1, _ = _pad_to(rgb[1], 2**cfg.pyr_lvls)
-        # siamese pyramids are direction-independent: extract once, run the
-        # top-down estimation twice (saves ~2x21 ms per pair at video scale)
-        c1 = pwcnet.extract_features(params, pair0, cfg, policy)
-        c2 = pwcnet.extract_features(params, pair1, cfg, policy)
-        fwd, _ = pwcnet.apply_pyramids(params, c1, c2, cfg, policy)
-        bwd, _ = pwcnet.apply_pyramids(params, c2, c1, cfg, policy)
-        flows = jnp.stack([fwd[:, :hh, :ww], bwd[:, :hh, :ww]], axis=1)
-        # back to input resolution: spatial /upscale and magnitude /upscale
-        flows = resize_tf1(flows, (h, w), "bilinear") / float(upscale)
-        return flows
 
-    return jax.jit(fn)
+def _warp_core(yuv1, yuv2, flows):
+    """Middle-frame synthesis (traceable core of make_warp_fn)."""
+    rgb1 = yuv2rgb_matlab(yuv1)
+    rgb2 = yuv2rgb_matlab(yuv2)
+    mid1 = dense_image_warp(rgb2, flows[:, 0] * 0.5)  # frame2 pulled back
+    mid2 = dense_image_warp(rgb1, flows[:, 1] * 0.5)  # frame1 pulled fwd
+    return jnp.stack([rgb2yuv_matlab(mid1), rgb2yuv_matlab(mid2)], axis=1)
 
 
 def make_warp_fn():
@@ -100,13 +112,76 @@ def make_warp_fn():
     fn(yuv1, yuv2 [B,h,w,3] in [0,255], flows [B,2,h,w,2]) ->
     warped YUV [B, 2, h, w, 3] in [0,255] (parity: warp script :112-128).
     """
+    return jax.jit(_warp_core)
 
-    def fn(yuv1, yuv2, flows):
-        rgb1 = yuv2rgb_matlab(yuv1)
-        rgb2 = yuv2rgb_matlab(yuv2)
-        mid1 = dense_image_warp(rgb2, flows[:, 0] * 0.5)  # frame2 pulled back
-        mid2 = dense_image_warp(rgb1, flows[:, 1] * 0.5)  # frame1 pulled fwd
-        return jnp.stack([rgb2yuv_matlab(mid1), rgb2yuv_matlab(mid2)], axis=1)
+
+def make_pair_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
+                 policy: Policy = F32, upscale: int = 2):
+    """ONE jitted program for everything an adjacent frame pair contributes:
+    bidirectional flow + the two +0.5-flow middle-frame warps.
+
+    fn(pwc_params, yuv1, yuv2 [B,h,w,3] in [0,255]) ->
+    (flows [B,2,h,w,2], warps [B,2,h,w,3] YUV in [0,255]).
+
+    Consecutive FISR windows share a pair — window k reads pairs (k,k+1) and
+    (k+1,k+2), window k+1 reads (k+1,k+2) and (k+2,k+3) — so the streaming
+    loop computes each pair ONCE through this program and feeds two windows
+    (the reference's staged pipeline has the same sharing: it precomputes all
+    n-1 pairs, FISR_for_video_pwcnet_predict_from_img_test.py:84-147, then
+    assembles n-2 windows). The monolithic `make_fused_video_step` recomputes
+    the shared pair and is kept for single-window serving and as the
+    equivalence oracle.
+    """
+
+    def fn(params, yuv1, yuv2):
+        flows = _flow_core(params, yuv1, yuv2, cfg, policy, upscale)
+        return flows, _warp_core(yuv1, yuv2, flows)
+
+    return jax.jit(fn)
+
+
+def _fisr_window_core(fisr_params, f0, f1, f2, flows01, warps01, flows12,
+                      warps12, policy: Policy, sf: int, fisr_grid):
+    """29-ch input assembly + FISRnet stage for one window (traceable)."""
+    from fisr_tpu.models import fisrnet
+
+    h, w = f0.shape[1], f0.shape[2]
+    img = jnp.concatenate([f0, f1, f2], axis=-1) / 255.0
+    img = jnp.clip(img, 0.0, 1.0)
+    flow_norm = 96.0 * 2.0  # FISRnet.py:1016
+    fl = jnp.concatenate(
+        [flows01[:, 0], flows01[:, 1], flows12[:, 0], flows12[:, 1]], -1
+    ) / flow_norm
+    fl = jnp.clip(fl, -1.0, 1.0)
+    wp = jnp.concatenate(
+        [warps01[:, 0], warps01[:, 1], warps12[:, 0], warps12[:, 1]], -1
+    ) / 255.0
+    wp = jnp.clip(wp, 0.0, 1.0)
+    inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
+    if fisr_grid is not None:
+        from fisr_tpu.infer.device import best_grid, tiled_apply
+
+        grid = (best_grid(h, w) if fisr_grid == "auto" else fisr_grid)
+        pred = tiled_apply(fisr_params, inp, grid, 32, sf, policy)
+    else:
+        pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
+    return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+
+def make_fisr_window_fn(policy: Policy = F32, sf: int = 2, fisr_grid=None):
+    """Jitted window stage for the pair-cached streaming loop.
+
+    fn(fisr_params, frames [B,3,h,w,3] YUV in [0,255],
+       (flows01, warps01), (flows12, warps12))  ->  [B, h*sf, w*sf, 9] in
+    [0,1] — exactly `make_fused_video_step`'s output when the pair inputs
+    come from `make_pair_fn` on the window's two adjacent pairs (pinned in
+    tests/test_video_fused.py).
+    """
+
+    def fn(fisr_params, frames, pair01, pair12):
+        f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
+        return _fisr_window_core(fisr_params, f0, f1, f2, pair01[0], pair01[1],
+                                 pair12[0], pair12[1], policy, sf, fisr_grid)
 
     return jax.jit(fn)
 
@@ -126,40 +201,24 @@ def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
     for PWC's 64-multiple requirement. fisr_grid (e.g. (4, 4) or 'auto')
     routes the FISRnet stage through in-jit padded tiling, which on v5e is
     substantially faster than full-frame at 2K (see PERF.md).
-    """
-    from fisr_tpu.models import fisrnet
 
-    flow_fn_core = make_flow_fn(cfg, policy, upscale)
-    warp_fn = make_warp_fn()
+    This single-program form recomputes the pair shared with the previous
+    window; the streaming loop in `run_video_pipeline` uses `make_pair_fn`
+    + `make_fisr_window_fn` instead, which computes each pair once
+    (steady-state saves one full bidirectional PWC pass per window). Use
+    this form for isolated windows and frame-parallel serving
+    (infer/serving.py), where windows land on different chips and sharing
+    would create inter-chip dependencies.
+    """
 
     def step(fisr_params, pwc_params, frames):
-        b, _, h, w, _ = frames.shape
         f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
-        flows01 = flow_fn_core(pwc_params, f0, f1)  # [B, 2, h, w, 2]
-        flows12 = flow_fn_core(pwc_params, f1, f2)
-        warps01 = warp_fn(f0, f1, flows01)  # [B, 2, h, w, 3] YUV [0,255]
-        warps12 = warp_fn(f1, f2, flows12)
-
-        img = jnp.concatenate([f0, f1, f2], axis=-1) / 255.0
-        img = jnp.clip(img, 0.0, 1.0)
-        flow_norm = 96.0 * 2.0  # FISRnet.py:1016
-        fl = jnp.concatenate(
-            [flows01[:, 0], flows01[:, 1], flows12[:, 0], flows12[:, 1]], -1
-        ) / flow_norm
-        fl = jnp.clip(fl, -1.0, 1.0)
-        wp = jnp.concatenate(
-            [warps01[:, 0], warps01[:, 1], warps12[:, 0], warps12[:, 1]], -1
-        ) / 255.0
-        wp = jnp.clip(wp, 0.0, 1.0)
-        inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
-        if fisr_grid is not None:
-            from fisr_tpu.infer.device import best_grid, tiled_apply
-
-            grid = (best_grid(h, w) if fisr_grid == "auto" else fisr_grid)
-            pred = tiled_apply(fisr_params, inp, grid, 32, sf, policy)
-        else:
-            pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
-        return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+        flows01 = _flow_core(pwc_params, f0, f1, cfg, policy, upscale)
+        flows12 = _flow_core(pwc_params, f1, f2, cfg, policy, upscale)
+        warps01 = _warp_core(f0, f1, flows01)  # [B, 2, h, w, 3] YUV [0,255]
+        warps12 = _warp_core(f1, f2, flows12)
+        return _fisr_window_core(fisr_params, f0, f1, f2, flows01, warps01,
+                                 flows12, warps12, policy, sf, fisr_grid)
 
     return jax.jit(step)
 
@@ -200,7 +259,14 @@ def run_video_pipeline(
         h0, w0 = frames.shape[1], frames.shape[2]
         h = h0 - h0 % 32
         w = w0 - w0 % 32
-        step = make_fused_video_step(policy=policy)
+        # Pair-cached streaming: adjacent windows share a frame pair, so each
+        # pair's bidirectional flow + warps run ONCE (make_pair_fn) and feed
+        # two windows — the reference's staged pipeline has the same sharing
+        # (it precomputes all n-1 pairs); the naive per-window fused step
+        # recomputes it (one extra full PWC pass per window, the pipeline's
+        # most expensive stage). Frames also upload once each, not 3x.
+        pair_fn = make_pair_fn(policy=policy)
+        window_fn = make_fisr_window_fn(policy=policy)
         digits = math.ceil(math.log10(2 * (n - 1)))
         out_paths = []
 
@@ -224,9 +290,15 @@ def run_video_pipeline(
         with ThreadPoolExecutor(max_workers=4) as pool:
             writes = []
             pending = None
+            d0 = jax.device_put(frames[None, 0, :h, :w])
+            d1 = jax.device_put(frames[None, 1, :h, :w])
+            prev_pair = pair_fn(pwc_params, d0, d1)
             for fr in range(n - 2):
-                window = jax.device_put(frames[None, fr : fr + 3, :h, :w])
-                pred_dev = step(fisr_params, pwc_params, window)
+                d2 = jax.device_put(frames[None, fr + 2, :h, :w])
+                new_pair = pair_fn(pwc_params, d1, d2)
+                window = jnp.stack([d0, d1, d2], axis=1)
+                pred_dev = window_fn(fisr_params, window, prev_pair, new_pair)
+                d0, d1, prev_pair = d1, d2, new_pair
                 if pending is not None:
                     for (rgb, p_rgb), (yuv, p_yuv) in emit(*pending):
                         writes.append(pool.submit(write_png, rgb, p_rgb))

@@ -52,6 +52,75 @@ def test_flow_fn_shapes_and_direction():
     assert np.isfinite(np.asarray(flows)).all()
 
 
+def test_pair_cached_window_matches_fused_step():
+    """make_pair_fn + make_fisr_window_fn (the streaming loop's pair-cached
+    decomposition) == the monolithic make_fused_video_step on the same
+    window; the shared pair of adjacent windows is literally the same array."""
+    from fisr_tpu.infer.video import make_fisr_window_fn, make_pair_fn
+
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(0))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.uniform(0, 255, size=(1, 4, 32, 32, 3)).astype(np.float32))
+
+    fused = make_fused_video_step(CFG)
+    pair_fn = make_pair_fn(CFG)
+    window_fn = make_fisr_window_fn()
+
+    pairs = [pair_fn(pwc_params, frames[:, i], frames[:, i + 1])
+             for i in range(3)]
+    for fr in range(2):
+        want = np.asarray(fused(fisr_params, pwc_params,
+                                frames[:, fr : fr + 3]))
+        got = np.asarray(window_fn(fisr_params, frames[:, fr : fr + 3],
+                                   pairs[fr], pairs[fr + 1]))
+        # same math, different jit program boundaries: XLA fuses each program
+        # differently, and the last-ulp f32 drift in the pair stage amplifies
+        # through the 48M-param FISRnet (measured max |diff| 1.7e-4 on 0.5%
+        # of pixels) — atol 1e-3 still pins structural equivalence while the
+        # sibling pipeline test pins the u8 output contract at +-1 count
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pipeline_pair_cached_loop_matches_per_window(tmp_path):
+    """run_video_pipeline(fused=True) over 4 frames (2 windows, 1 shared
+    pair) writes the same pixels as naive per-window fused steps."""
+    from fisr_tpu.data.png_io import read_png
+    from fisr_tpu.data.synth import write_synthetic_video_folder
+    from fisr_tpu.infer.video import run_video_pipeline
+
+    folder = write_synthetic_video_folder(str(tmp_path / "vid"), n_frames=4,
+                                          h=32, w=32)
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(0))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
+    outs = run_video_pipeline(fisr_params, pwc_params, folder, fused=True,
+                              verbose=False)
+    assert len(outs) == 6  # 2 windows x 3 output frames
+
+    import glob, os
+
+    frames = np.stack([read_png(p) for p in sorted(
+        glob.glob(os.path.join(folder, "*.png"))) if "FISR_frames" not in p])
+    frames = jnp.asarray(frames[None].astype(np.float32))
+    step = make_fused_video_step()
+    for fr in range(2):
+        want = np.uint8(np.asarray(
+            step(fisr_params, pwc_params, frames[:, fr : fr + 3])[0]) * 255)
+        want_split = want.reshape(32 * 2, 32 * 2, 3, 3).transpose(2, 0, 1, 3)
+        # overlapping windows both write index 2*fr+2 (window fr's 3rd output
+        # = window fr+1's 1st, predicted from DIFFERENT inputs); the pipeline
+        # keeps the last writer — so window 0 only owns files 0 and 1
+        owned = range(3) if fr == 1 else range(2)
+        for s in owned:
+            got = read_png(os.path.join(
+                folder, "FISR_frames", f"pred_YUV_{fr * 2 + s}.png"))
+            # different jit programs may fuse differently -> last-ulp f32
+            # shifts can flip a knife-edge u8 rounding; allow +-1 count
+            diff = np.abs(got.astype(np.int16) -
+                          want_split[s].astype(np.int16))
+            assert diff.max() <= 1, (fr, s, diff.max())
+
+
 def test_fused_cli_video_phase(tmp_path):
     from fisr_tpu.cli.main import main as cli_main
     from fisr_tpu.data.synth import write_synthetic_video_folder
