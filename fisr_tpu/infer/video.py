@@ -75,12 +75,19 @@ def _flow_core(params, yuv1, yuv2, cfg: pwcnet.PWCNetConfig, policy: Policy,
         rgb = [resize_tf1(r, (h * upscale, w * upscale), "bilinear") for r in rgb]
     pair0, (hh, ww) = _pad_to(rgb[0], 2**cfg.pyr_lvls)
     pair1, _ = _pad_to(rgb[1], 2**cfg.pyr_lvls)
-    # siamese pyramids are direction-independent: extract once, run the
-    # top-down estimation twice (saves ~2x21 ms per pair at video scale)
-    c1 = pwcnet.extract_features(params, pair0, cfg, policy)
-    c2 = pwcnet.extract_features(params, pair1, cfg, policy)
-    fwd, _ = pwcnet.apply_pyramids(params, c1, c2, cfg, policy)
-    bwd, _ = pwcnet.apply_pyramids(params, c2, c1, cfg, policy)
+    # Both directions in ONE batch-2B pass: the siamese pyramid is extracted
+    # once over the stacked pair, and the (c2, c1) pyramid for the backward
+    # direction is just the batch halves swapped — so the whole top-down
+    # estimation runs as a single program with doubled batch instead of two
+    # sequential batch-B passes (measured v5e, video parity scale: 308 ->
+    # 252 ms, scripts/profile_flow_batched.py; coarse levels were
+    # underfilled at batch 1 and the program overhead halves).
+    b = pair0.shape[0]
+    both = jnp.concatenate([pair0, pair1], axis=0)  # [2B, H, W, 3]
+    c = pwcnet.extract_features(params, both, cfg, policy)
+    c_rev = [None] + [jnp.concatenate([t[b:], t[:b]], axis=0) for t in c[1:]]
+    flows2, _ = pwcnet.apply_pyramids(params, c, c_rev, cfg, policy)
+    fwd, bwd = flows2[:b], flows2[b:]
     flows = jnp.stack([fwd[:, :hh, :ww], bwd[:, :hh, :ww]], axis=1)
     # back to input resolution: spatial /upscale and magnitude /upscale
     return resize_tf1(flows, (h, w), "bilinear") / float(upscale)
