@@ -11,7 +11,12 @@ Two complementary ways to scale FISR inference over a mesh:
 [N, h, w, 29] window batch is sharded over the mesh; each chip runs the
 (in-jit tiled) FISRnet on its shard and the output canvas materializes
 sharded the same way. Works identically for the fused flow->warp->FISRnet
-step (`make_frame_parallel_video_step`).
+step (`make_frame_parallel_video_step`). For CONSECUTIVE windows,
+`make_frame_parallel_stream_step` additionally shares each frame pair's
+flow/warp between the two windows that read it — the shared pair crosses
+chips over ICI (one ppermute) instead of being recomputed, cutting the
+per-chip steady-state cost from 2 pair programs to 1 (~1.5x throughput at
+video scale; see PERF.md).
 """
 
 from __future__ import annotations
@@ -19,13 +24,15 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fisr_tpu.core.mesh import DATA_AXIS
 from fisr_tpu.infer.device import make_device_runner
 from fisr_tpu.ops.conv import F32, Policy
 
-__all__ = ["make_frame_parallel_runner", "make_frame_parallel_video_step"]
+__all__ = ["make_frame_parallel_runner", "make_frame_parallel_video_step",
+           "make_frame_parallel_stream_step"]
 
 
 def make_frame_parallel_runner(mesh: Mesh, mode: str = "tiled",
@@ -59,3 +66,76 @@ def make_frame_parallel_video_step(mesh: Mesh, axis: str = DATA_AXIS,
         in_shardings=(rep, rep, batch_sh),
         out_shardings=out_sh,
     )
+
+
+def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
+                                    policy: Policy = F32, upscale: int = 2,
+                                    sf: int = 2, fisr_grid=None, cfg=None):
+    """Pair-cached frame-parallel streaming: windows round-robin over chips,
+    the shared frame pair rides ICI instead of being recomputed.
+
+    `make_frame_parallel_video_step` runs each window's fused step
+    independently, so every chip computes BOTH of its window's frame pairs —
+    but consecutive windows share a pair (window w reads pairs (w, w+1)), and
+    when a round of `ndev` CONSECUTIVE windows is laid out one-per-chip in
+    mesh order, chip i's first pair is exactly chip i-1's second pair. This
+    step therefore computes only the second (new) pair locally and receives
+    the first from the left neighbor via one `ppermute` (~80 MB at 2K — a
+    few ms of ICI vs a full bidirectional PWC pass, the pipeline's most
+    expensive stage). That is the multi-chip form of `run_video_pipeline`'s
+    pair-cached streaming loop (infer/video.py): per-chip steady-state cost
+    drops from 2 pair programs + 1 window program to 1 + 1.
+
+    fn(fisr_params, pwc_params, frames [N, 3, h, w, 3] YUV in [0, 255],
+       left_pair (flows [B, 2, h, w, 2], warps [B, 2, h, w, 3]))
+      -> (pred [N, h*sf, w*sf, 9] in [0, 1],
+          last_pair — the globally-last window's new pair)
+    where N = ndev * B windows are consecutive (window k = frames
+    (k, k+1, k+2)) and `left_pair` is pair (0, 1) — seed it with
+    `video.make_pair_fn`, then thread each round's returned `last_pair` in
+    as the next round's `left_pair` (it is pair (N, N+1) = the next round's
+    window 0 first pair). Reference semantics unchanged: same three-stage
+    math as FISRnet.py:937-1084, just partitioned.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from fisr_tpu.infer.video import (_fisr_window_core, _flow_core,
+                                      _warp_core)
+    from fisr_tpu.models import pwcnet
+
+    cfg = cfg or pwcnet.PWCNetConfig()
+    ndev = mesh.shape[axis]
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local_step(fisr_params, pwc_params, frames, left_pair):
+        f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
+        flows_hi = _flow_core(pwc_params, f1, f2, cfg, policy, upscale)
+        warps_hi = _warp_core(f1, f2, flows_hi)
+        # left neighbor's last new pair -> this chip's first pair; chip 0
+        # takes the threaded-in carry (the wraparound value it receives is
+        # next round's carry, returned as last_pair by the global last chip)
+        recv_f = jax.lax.ppermute(flows_hi[-1:], axis, perm)
+        recv_w = jax.lax.ppermute(warps_hi[-1:], axis, perm)
+        first = jax.lax.axis_index(axis) == 0
+        lo_f = jnp.concatenate(
+            [jnp.where(first, left_pair[0][-1:], recv_f), flows_hi[:-1]], 0)
+        lo_w = jnp.concatenate(
+            [jnp.where(first, left_pair[1][-1:], recv_w), warps_hi[:-1]], 0)
+        pred = _fisr_window_core(fisr_params, f0, f1, f2, lo_f, lo_w,
+                                 flows_hi, warps_hi, policy, sf, fisr_grid)
+        return pred, (flows_hi[-1:], warps_hi[-1:])
+
+    rep = P()
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, P(axis), rep),
+        out_specs=(P(axis), (P(axis), P(axis))),
+        check_rep=False,
+    )
+
+    def fn(fisr_params, pwc_params, frames, left_pair):
+        pred, (lf, lw) = mapped(fisr_params, pwc_params, frames, left_pair)
+        # per-chip [1, ...] stack -> the globally-last chip's pair
+        return pred, (lf[-1:], lw[-1:])
+
+    return jax.jit(fn)

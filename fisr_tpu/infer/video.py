@@ -220,6 +220,12 @@ def make_fused_video_step(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
 
     def step(fisr_params, pwc_params, frames):
         f0, f1, f2 = frames[:, 0], frames[:, 1], frames[:, 2]
+        # Two _flow_core calls, each internally batch-2B over its two
+        # directions. Folding BOTH pairs into one batch-4B call was measured
+        # NEGATIVE at parity scale (monolithic window 870 -> 896 ms — batch
+        # 4 at the x2-upscaled 2112x3840 extent trips the same large-extent
+        # collapse as the tiling crossovers; PERF.md round-3 scoreboard), so
+        # the 2B-per-pair form stays.
         flows01 = _flow_core(pwc_params, f0, f1, cfg, policy, upscale)
         flows12 = _flow_core(pwc_params, f1, f2, cfg, policy, upscale)
         warps01 = _warp_core(f0, f1, flows01)  # [B, 2, h, w, 3] YUV [0,255]

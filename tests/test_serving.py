@@ -45,3 +45,39 @@ def test_frame_parallel_video_step_matches_local():
     local = make_fused_video_step()
     want = np.asarray(local(fisr_params, pwc_params, frames), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+
+
+def test_frame_parallel_stream_step_matches_monolithic():
+    """Pair-cached frame-parallel streaming (shared pair over ppermute, carry
+    threaded between rounds) == per-window monolithic step, two rounds."""
+    from fisr_tpu.infer.serving import make_frame_parallel_stream_step
+    from fisr_tpu.infer.video import make_fused_video_step, make_pair_fn
+    from fisr_tpu.models import pwcnet
+
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(1))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(4)
+    # 2 rounds x 8 consecutive windows -> 18 frames; window k = (k, k+1, k+2)
+    seq = jnp.asarray(
+        rng.uniform(0, 255, size=(18, 64, 64, 3)).astype(np.float32))
+    windows = jnp.stack([seq[k:k + 3] for k in range(16)])  # [16, 3, h, w, 3]
+
+    mesh = make_mesh((8, 1))
+    stream = make_frame_parallel_stream_step(mesh)
+    carry = make_pair_fn()(pwc_params, seq[None, 0], seq[None, 1])
+    preds = []
+    for r in range(2):
+        pred, carry = stream(fisr_params, pwc_params, windows[8 * r:8 * r + 8],
+                             carry)
+        preds.append(np.asarray(pred, np.float32))
+    got = np.concatenate(preds)
+    assert got.shape == (16, 128, 128, 9)
+
+    local = make_fused_video_step()
+    want = np.asarray(local(fisr_params, pwc_params, windows), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    # the threaded carry after round 2 must be pair (16, 17)
+    want_pair = make_pair_fn()(pwc_params, seq[None, 16], seq[None, 17])
+    np.testing.assert_allclose(np.asarray(carry[0], np.float32),
+                               np.asarray(want_pair[0], np.float32),
+                               rtol=5e-3, atol=2e-3)
