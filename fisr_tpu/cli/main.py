@@ -116,6 +116,13 @@ def parse_args(argv=None):
                         "otherwise fresh random init with a loud warning "
                         "(the reference restores its flow ckpt at "
                         "model_base.py:115-191, wired from main.py:211)")
+    p.add_argument("--flow_scale", type=int, default=2, choices=[1, 2],
+                   help="video-phase flow-stage input scale. 2 = reference "
+                        "parity (x2-upscale each pair before PWC-Net, scale "
+                        "the flow back — FISR_for_video_pwcnet_predict_from_"
+                        "img_test.py:116-141). 1 = explicit FAST mode: flow "
+                        "at native resolution (~1.5x pipeline throughput at "
+                        "2K; quality trade quantified in PARITY.md)")
     p.add_argument("--fused", action="store_true",
                    help="run the video phase as one fused on-device program "
                         "per window (no .flo/.mat round-trip, no tiling)")
@@ -264,7 +271,7 @@ def run_video(args):
         out_folder=args.video_out_dir,
         grid=tuple(args.FISR_test_patch), policy=_policy(args),
         write_artifacts=not args.fused, frame_num=args.frame_num,
-        fused=args.fused,
+        fused=args.fused, flow_upscale=args.flow_scale,
     )
 
 

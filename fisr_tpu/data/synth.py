@@ -19,7 +19,8 @@ from fisr_tpu.data import matio
 from fisr_tpu.data.dataset import TrainStore, _merge
 
 __all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus",
-           "write_synthetic_test_set", "write_synthetic_video_folder"]
+           "write_synthetic_test_set", "write_synthetic_video_folder",
+           "write_synthetic_video_scene"]
 
 
 def _scene(rng, n_frames: int, h: int, w: int, return_motion: bool = False):
@@ -157,3 +158,38 @@ def write_synthetic_video_folder(folder: str, n_frames: int = 3, h: int = 64,
         write_png(frames[i].astype(np.uint8),
                   os.path.join(folder, f"LR_vid_fr_{i:03d}.png"))
     return folder
+
+
+def write_synthetic_video_scene(folder: str, n_frames: int = 5, h: int = 64,
+                                w: int = 64, seed: int = 0):
+    """LR video folder WITH its high-res high-frame-rate ground truth.
+
+    The reference's FISR_for_video phase is GT-free (it upconverts arbitrary
+    footage, FISRnet.py:937-1084), so the video pipeline's end quality was
+    never directly measurable. This writes a physically-consistent pair:
+    `2*n_frames-1` HR half-step frames at (2h, 2w) under `folder/HR_GT/`,
+    and the LR input = every other HR frame subsampled 2x (the same
+    LR<->HR contract as `synthetic_arrays`). Output frame `fr*2+s` of
+    `run_video_pipeline` corresponds exactly to HR frame `2*fr+s`
+    (window fr reads LR frames fr, fr+1, fr+2 = HR half-steps 2fr, 2fr+2,
+    2fr+4 and predicts half-steps 2fr, 2fr+1, 2fr+2) — so pred index ==
+    GT index, which `infer.video_eval.evaluate_video_folder` relies on.
+
+    Returns (lr_folder, gt_folder).
+    """
+    from fisr_tpu.data.png_io import write_png
+
+    os.makedirs(folder, exist_ok=True)
+    gt_dir = os.path.join(folder, "HR_GT")
+    os.makedirs(gt_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    hi = _scene(rng, 2 * n_frames - 1, 2 * h, 2 * w)  # YUV half-steps [0,255]
+    lr = hi[::2][:, ::2, ::2]
+    digits = max(1, int(np.ceil(np.log10(2 * (n_frames - 1)))))
+    for i in range(n_frames):
+        write_png(lr[i].astype(np.uint8),
+                  os.path.join(folder, f"LR_vid_fr_{i:03d}.png"))
+    for i in range(2 * n_frames - 1):
+        write_png(hi[i].astype(np.uint8),
+                  os.path.join(gt_dir, f"HR_YUV_{str(i).zfill(digits)}.png"))
+    return folder, gt_dir

@@ -248,6 +248,7 @@ def run_video_pipeline(
     frame_num: Optional[int] = None,
     verbose: bool = True,
     fused: bool = False,
+    flow_upscale: int = 2,
 ):
     """Full FISR_for_video over a folder of YUV PNGs.
 
@@ -256,6 +257,14 @@ def run_video_pipeline(
     fused=True runs each window through the single-program
     flow->warp->FISRnet step (full-frame, no tiling) instead of the staged
     path — the production device-resident mode.
+
+    flow_upscale=2 is reference parity — the flow stage upscales each frame
+    pair x2 before PWC-Net and scales the flow back down (the reference's
+    better-prediction trick, FISR_for_video_pwcnet_predict_from_img_test.py:
+    116-141). flow_upscale=1 is the explicit FAST mode: flow at native
+    resolution, ~1.5x pipeline throughput at 2K (PERF.md), with a measured
+    flow-quality trade recorded in PARITY.md — opt-in only, parity mode keeps
+    the reference trick.
     """
     paths = list_pngs(frame_folder)
     if frame_num is not None:
@@ -278,7 +287,7 @@ def run_video_pipeline(
         # (it precomputes all n-1 pairs); the naive per-window fused step
         # recomputes it (one extra full PWC pass per window, the pipeline's
         # most expensive stage). Frames also upload once each, not 3x.
-        pair_fn = make_pair_fn(policy=policy)
+        pair_fn = make_pair_fn(policy=policy, upscale=flow_upscale)
         window_fn = make_fisr_window_fn(policy=policy)
         digits = math.ceil(math.log10(2 * (n - 1)))
         out_paths = []
@@ -332,7 +341,7 @@ def run_video_pipeline(
         return out_paths
 
     # stage 1+2: flows + warped middle frames for each adjacent pair
-    flow_fn = make_flow_fn(policy=policy)
+    flow_fn = make_flow_fn(policy=policy, upscale=flow_upscale)
     warp_fn = make_warp_fn()
     flows, warps = [], []
     for i in range(n - 1):

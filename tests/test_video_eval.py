@@ -1,0 +1,69 @@
+"""GT-based video-phase scoring: index alignment + end-to-end smoke."""
+
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from fisr_tpu.data.png_io import read_png, write_png
+from fisr_tpu.data.synth import write_synthetic_video_scene
+from fisr_tpu.infer.video_eval import evaluate_video_folder
+
+
+def test_eval_alignment_and_units(tmp_path):
+    """Predictions = GT shifted by exactly 1 u8 count must score
+    20*log10(255) ~= 48.13 dB in BOTH families — pins index parsing, the
+    SR/VFI-SR even/odd split, and the [0,1] PSNR units."""
+    folder, gt_dir = write_synthetic_video_scene(str(tmp_path / "vid"),
+                                                 n_frames=4, h=16, w=16)
+    pred_dir = str(tmp_path / "pred")
+    os.makedirs(pred_dir)
+    # pipeline output indices for n=4 input frames: 0 .. 2n-4 (= 0..4); GT
+    # also has indices 2n-3, 2n-2 with no prediction — they must be ignored
+    for k in range(2 * 4 - 3):
+        g = read_png(os.path.join(gt_dir, f"HR_YUV_{k}.png"))
+        p = np.clip(g.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+        # avoid the clip-at-255 pixels changing the error: push those down
+        p[g == 255] = 254
+        write_png(p, os.path.join(pred_dir, f"pred_YUV_{k}.png"))
+
+    r = evaluate_video_folder(pred_dir, gt_dir)
+    want = 20 * np.log10(255.0)
+    assert abs(r.psnr_sr - want) < 0.01, r
+    assert abs(r.psnr_vfi_sr - want) < 0.01, r
+    assert r.n_sr == 3 and r.n_vfi_sr == 2, r  # k in 0..4: evens 0,2,4
+    assert 0.9 < r.ssim_sr <= 1.0 and 0.9 < r.ssim_vfi_sr <= 1.0, r
+
+
+def test_eval_shape_mismatch_raises(tmp_path):
+    folder, gt_dir = write_synthetic_video_scene(str(tmp_path / "vid"),
+                                                 n_frames=3, h=16, w=16)
+    pred_dir = str(tmp_path / "pred")
+    os.makedirs(pred_dir)
+    lr0 = read_png(os.path.join(folder, "LR_vid_fr_000.png"))  # half-size
+    write_png(lr0, os.path.join(pred_dir, "pred_YUV_0.png"))
+    try:
+        evaluate_video_folder(pred_dir, gt_dir)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_pipeline_scored_end_to_end(tmp_path):
+    """run_video_pipeline output scores finitely against the scene GT —
+    the video phase finally has a quality gate (the reference never did)."""
+    from fisr_tpu.infer.video import run_video_pipeline
+    from fisr_tpu.models import fisrnet, pwcnet
+
+    folder, gt_dir = write_synthetic_video_scene(str(tmp_path / "vid"),
+                                                 n_frames=3, h=32, w=32)
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(0))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
+    outs = run_video_pipeline(fisr_params, pwc_params, folder, fused=True,
+                              verbose=False)
+    assert len(outs) == 3
+    r = evaluate_video_folder(os.path.join(folder, "FISR_frames"), gt_dir)
+    assert np.isfinite([r.psnr_sr, r.psnr_vfi_sr,
+                        r.ssim_sr, r.ssim_vfi_sr]).all(), r
+    assert r.n_sr == 2 and r.n_vfi_sr == 1, r

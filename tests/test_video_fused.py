@@ -121,6 +121,29 @@ def test_pipeline_pair_cached_loop_matches_per_window(tmp_path):
             assert diff.max() <= 1, (fr, s, diff.max())
 
 
+def test_flow_scale_fast_mode(tmp_path):
+    """--flow_scale 1 (explicit fast mode) threads through the pipeline:
+    the flow stage runs at native resolution instead of the reference's
+    x2-upscale trick, so the flows (and the frames conditioned on them)
+    differ from parity mode, while shapes and units stay identical."""
+    from fisr_tpu.infer.video import make_pair_fn
+
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    y1 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 32, 3)), jnp.float32)
+    y2 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 32, 3)), jnp.float32)
+
+    f_parity, w_parity = make_pair_fn(upscale=2)(pwc_params, y1, y2)
+    f_fast, w_fast = make_pair_fn(upscale=1)(pwc_params, y1, y2)
+    assert f_fast.shape == f_parity.shape == (1, 2, 32, 32, 2)
+    assert w_fast.shape == w_parity.shape == (1, 2, 32, 32, 3)
+    # both are finite, native-resolution pixel-unit flows — but computed at
+    # different scales, so they must not be numerically identical
+    assert np.isfinite(np.asarray(f_fast, np.float32)).all()
+    assert not np.allclose(np.asarray(f_fast, np.float32),
+                           np.asarray(f_parity, np.float32), atol=1e-3)
+
+
 def test_fused_cli_video_phase(tmp_path):
     from fisr_tpu.cli.main import main as cli_main
     from fisr_tpu.data.synth import write_synthetic_video_folder
