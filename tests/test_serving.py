@@ -81,3 +81,35 @@ def test_frame_parallel_stream_step_matches_monolithic():
     np.testing.assert_allclose(np.asarray(carry[0], np.float32),
                                np.asarray(want_pair[0], np.float32),
                                rtol=5e-3, atol=2e-3)
+
+
+def test_frame_parallel_stream_step_multiple_windows_per_chip():
+    """B=2 windows per chip in one round (N=16 over 8 chips): window 2i's
+    first pair crosses chips (ppermute), window 2i+1's comes from its
+    on-chip left neighbor — both paths must equal the monolithic step."""
+    from fisr_tpu.infer.serving import make_frame_parallel_stream_step
+    from fisr_tpu.infer.video import make_fused_video_step, make_pair_fn
+    from fisr_tpu.models import pwcnet
+
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(1))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(6)
+    seq = jnp.asarray(
+        rng.uniform(0, 255, size=(18, 64, 64, 3)).astype(np.float32))
+    windows = jnp.stack([seq[k:k + 3] for k in range(16)])  # [16, 3, h, w, 3]
+
+    mesh = make_mesh((8, 1))
+    stream = make_frame_parallel_stream_step(mesh)
+    carry = make_pair_fn()(pwc_params, seq[None, 0], seq[None, 1])
+    pred, carry = stream(fisr_params, pwc_params, windows, carry)
+    got = np.asarray(pred, np.float32)
+    assert got.shape == (16, 128, 128, 9)
+
+    local = make_fused_video_step()
+    want = np.asarray(local(fisr_params, pwc_params, windows), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    # carry = the globally-last window's new pair = pair (16, 17)
+    want_pair = make_pair_fn()(pwc_params, seq[None, 16], seq[None, 17])
+    np.testing.assert_allclose(np.asarray(carry[0], np.float32),
+                               np.asarray(want_pair[0], np.float32),
+                               rtol=5e-3, atol=2e-3)
