@@ -167,13 +167,20 @@ def write_synthetic_video_scene(folder: str, n_frames: int = 5, h: int = 64,
     The reference's FISR_for_video phase is GT-free (it upconverts arbitrary
     footage, FISRnet.py:937-1084), so the video pipeline's end quality was
     never directly measurable. This writes a physically-consistent pair:
-    `2*n_frames-1` HR half-step frames at (2h, 2w) under `folder/HR_GT/`,
-    and the LR input = every other HR frame subsampled 2x (the same
-    LR<->HR contract as `synthetic_arrays`). Output frame `fr*2+s` of
-    `run_video_pipeline` corresponds exactly to HR frame `2*fr+s`
-    (window fr reads LR frames fr, fr+1, fr+2 = HR half-steps 2fr, 2fr+2,
-    2fr+4 and predicts half-steps 2fr, 2fr+1, 2fr+2) — so pred index ==
-    GT index, which `infer.video_eval.evaluate_video_folder` relies on.
+    HR half-step frames at (2h, 2w) under `folder/HR_GT/`, and the LR
+    input = every other HR frame subsampled 2x (the same LR<->HR contract
+    as `synthetic_arrays`).
+
+    Index alignment (what `infer.video_eval.evaluate_video_folder` relies
+    on): window fr reads LR frames fr, fr+1, fr+2 = HR half-steps 2fr,
+    2fr+2, 2fr+4 and its three outputs are half-steps 2fr+1 (VFI), 2fr+2
+    (SR of the MIDDLE input frame), 2fr+3 (VFI) — the same
+    `s -> label 2*sample_i+s over hr=hi[1:8]` mapping the test phase
+    scores with (infer/evaluate.py; reference FISRnet.py:913-920 via its
+    7-frame GT hi[1:8]). The pipeline numbers output files `fr*2+s`
+    (FISRnet.py:1063-1077), so pred file k depicts half-step k+1: GT file
+    `HR_YUV_{k}.png` is written as `hi[k+1]` for k in 0..2*n_frames-4,
+    and SR frames sit at ODD k (even half-steps = input-frame times).
 
     Returns (lr_folder, gt_folder).
     """
@@ -185,11 +192,12 @@ def write_synthetic_video_scene(folder: str, n_frames: int = 5, h: int = 64,
     rng = np.random.default_rng(seed)
     hi = _scene(rng, 2 * n_frames - 1, 2 * h, 2 * w)  # YUV half-steps [0,255]
     lr = hi[::2][:, ::2, ::2]
+    # same zero-pad width as run_video_pipeline's output numbering
     digits = max(1, int(np.ceil(np.log10(2 * (n_frames - 1)))))
     for i in range(n_frames):
         write_png(lr[i].astype(np.uint8),
                   os.path.join(folder, f"LR_vid_fr_{i:03d}.png"))
-    for i in range(2 * n_frames - 1):
-        write_png(hi[i].astype(np.uint8),
-                  os.path.join(gt_dir, f"HR_YUV_{str(i).zfill(digits)}.png"))
+    for k in range(2 * n_frames - 3):  # pred file indices 0 .. 2n-4
+        write_png(hi[k + 1].astype(np.uint8),
+                  os.path.join(gt_dir, f"HR_YUV_{str(k).zfill(digits)}.png"))
     return folder, gt_dir

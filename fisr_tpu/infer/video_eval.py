@@ -8,11 +8,13 @@ truth exists (e.g. `data.synth.write_synthetic_video_scene`, or any real
 HFR/HR footage downconverted the same way): it scores the pipeline's
 written `pred_YUV_*.png` frames against GT frames of the same index, split
 into the reference's two metric families —
-  * SR frames (even output index: a 2x-upscaled input frame), and
-  * VFI-SR frames (odd output index: an interpolated-and-upscaled frame)
+  * SR frames (ODD output index: a 2x-upscaled input frame — window fr's
+    middle output, half-step 2fr+2, lands at file index 2fr+1), and
+  * VFI-SR frames (EVEN output index: an interpolated-and-upscaled frame)
 — the same split the test phase reports (fr2 vs fr1/fr3,
-FISRnet.py:913-933). PSNR on YUV in [0,1] (utils.py:161 `_compute_psnr`
-semantics) + the in-package gaussian SSIM.
+FISRnet.py:913-933; see write_synthetic_video_scene's docstring for the
+file-index <-> half-step derivation). PSNR on YUV in [0,1] (utils.py:161
+`_compute_psnr` semantics) + the in-package gaussian SSIM.
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def evaluate_video_folder(pred_folder: str, gt_folder: str,
         raise ValueError(
             f"no index-aligned frames between {pred_folder} and {gt_folder}")
 
-    psnr = {0: [], 1: []}  # parity of the output index: 0 = SR, 1 = VFI-SR
+    psnr = {0: [], 1: []}  # parity of the output index: 1 = SR, 0 = VFI-SR
     ssim = {0: [], 1: []}
     for k in common:
         p = read_png(preds[k]).astype(np.float64) / 255.0
@@ -80,7 +82,7 @@ def evaluate_video_folder(pred_folder: str, gt_folder: str,
         return float(np.mean(xs)) if xs else float("nan")
 
     return VideoEvalResult(
-        psnr_vfi_sr=mean(psnr[1]), psnr_sr=mean(psnr[0]),
-        ssim_vfi_sr=mean(ssim[1]), ssim_sr=mean(ssim[0]),
-        n_vfi_sr=len(psnr[1]), n_sr=len(psnr[0]),
+        psnr_vfi_sr=mean(psnr[0]), psnr_sr=mean(psnr[1]),
+        ssim_vfi_sr=mean(ssim[0]), ssim_sr=mean(ssim[1]),
+        n_vfi_sr=len(psnr[0]), n_sr=len(psnr[1]),
     )

@@ -19,9 +19,9 @@ def test_eval_alignment_and_units(tmp_path):
                                                  n_frames=4, h=16, w=16)
     pred_dir = str(tmp_path / "pred")
     os.makedirs(pred_dir)
-    # pipeline output indices for n=4 input frames: 0 .. 2n-4 (= 0..4); GT
-    # also has indices 2n-3, 2n-2 with no prediction — they must be ignored
-    for k in range(2 * 4 - 3):
+    # pipeline output indices for n=4 input frames: 0 .. 2n-4 (= 0..4);
+    # write preds only for 0..3 so GT index 4 must be ignored
+    for k in range(4):
         g = read_png(os.path.join(gt_dir, f"HR_YUV_{k}.png"))
         p = np.clip(g.astype(np.int16) + 1, 0, 255).astype(np.uint8)
         # avoid the clip-at-255 pixels changing the error: push those down
@@ -32,8 +32,29 @@ def test_eval_alignment_and_units(tmp_path):
     want = 20 * np.log10(255.0)
     assert abs(r.psnr_sr - want) < 0.01, r
     assert abs(r.psnr_vfi_sr - want) < 0.01, r
-    assert r.n_sr == 3 and r.n_vfi_sr == 2, r  # k in 0..4: evens 0,2,4
+    # k in 0..3: SR frames at ODD k (input-frame half-steps) = {1, 3},
+    # VFI-SR at even k = {0, 2}
+    assert r.n_sr == 2 and r.n_vfi_sr == 2, r
     assert 0.9 < r.ssim_sr <= 1.0 and 0.9 < r.ssim_vfi_sr <= 1.0, r
+
+
+def test_gt_alignment_against_lr_inputs(tmp_path):
+    """Pin the half-step derivation with data, not a model: GT file at ODD
+    index 2fr+1 is the SR target of input LR frame fr+1, so it must equal
+    that LR frame's scene content at 2x size (the LR frame is exactly its
+    2x-subsample). GT at even indexes must NOT match any LR frame's time."""
+    folder, gt_dir = write_synthetic_video_scene(str(tmp_path / "vid"),
+                                                 n_frames=3, h=16, w=16)
+    # pred/GT index 1 = half-step 2 = LR input frame 1's time
+    g1 = read_png(os.path.join(gt_dir, "HR_YUV_1.png"))
+    lr1 = read_png(os.path.join(folder, "LR_vid_fr_001.png"))
+    np.testing.assert_array_equal(g1[::2, ::2], lr1)
+    # even GT index 0 = half-step 1: between LR frames 0 and 1 (the scene
+    # translates every half-step, so it matches neither subsampled)
+    g0 = read_png(os.path.join(gt_dir, "HR_YUV_0.png"))
+    lr0 = read_png(os.path.join(folder, "LR_vid_fr_000.png"))
+    assert not np.array_equal(g0[::2, ::2], lr0)
+    assert not np.array_equal(g0[::2, ::2], lr1)
 
 
 def test_eval_shape_mismatch_raises(tmp_path):
@@ -66,4 +87,5 @@ def test_pipeline_scored_end_to_end(tmp_path):
     r = evaluate_video_folder(os.path.join(folder, "FISR_frames"), gt_dir)
     assert np.isfinite([r.psnr_sr, r.psnr_vfi_sr,
                         r.ssim_sr, r.ssim_vfi_sr]).all(), r
-    assert r.n_sr == 2 and r.n_vfi_sr == 1, r
+    # preds 0..2: SR (odd k) = {1}, VFI-SR (even k) = {0, 2}
+    assert r.n_sr == 1 and r.n_vfi_sr == 2, r
