@@ -229,7 +229,16 @@ class FlowDataset:
         idxs = self._train_idx if train else self._val_idx
         if train:
             idxs = np.random.default_rng(epoch_seed).permutation(idxs)
-        starts = range(0, len(idxs) - batch_size + 1, batch_size)
+        starts = list(range(0, len(idxs) - batch_size + 1, batch_size))
+        chunks = [idxs[i : i + batch_size] for i in starts]
+        # eval must see EVERY sample: yield the final partial batch too
+        # (training keeps fixed-size shuffled batches — the reference's
+        # contract; its eval pads the last round, model_pwcnet.py:843-849).
+        # Without this, val_size < batch_size yields NOTHING and best-ckpt
+        # ranking would run on empty metrics.
+        tail = len(starts) * batch_size
+        if not train and tail < len(idxs):
+            chunks.append(idxs[tail:])
 
         def assemble(batch_idxs, samples=None):
             xs, ys = zip(*(samples or (self._sample(j, train) for j in batch_idxs)))
@@ -237,8 +246,8 @@ class FlowDataset:
                     "y": np.stack(ys).astype(np.float32)}
 
         if num_workers <= 0:
-            for i in starts:
-                yield assemble(idxs[i : i + batch_size])
+            for chunk in chunks:
+                yield assemble(chunk)
             return
 
         # _sample mutates self._rng: draw samples serially on submit order,
@@ -249,8 +258,8 @@ class FlowDataset:
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             pending = deque()
-            for i in starts:
-                samples = [self._sample(j, train) for j in idxs[i : i + batch_size]]
+            for chunk in chunks:
+                samples = [self._sample(j, train) for j in chunk]
                 pending.append(pool.submit(assemble, None, samples))
                 if len(pending) > num_workers + 1:
                     yield pending.popleft().result()

@@ -185,6 +185,11 @@ def best_grid(h: int, w: int, target: Tuple[int, int] = (4, 6)):
     Default target (4,6): the post-shrink grid sweep found patch W of
     320+2*32=384 is an XLA sweet spot at 2K (PERF.md — (4,6) 207.4 ms vs
     (4,4) 211.0 at 1024x1920; W 448 patches are ~10% slower)."""
+    if h % 32 or w % 32:
+        # even grid 1 needs 32-multiples (FISRnet's /4 pyramid + halo math);
+        # callers crop first (run_video_pipeline: h - h % 32)
+        raise ValueError(f"best_grid: frame {h}x{w} must be 32-multiples "
+                         "(crop or pad first, e.g. 1080 -> 1056)")
     gh = max(g for g in range(1, target[0] + 1) if h % (32 * g) == 0)
     gw = max(g for g in range(1, target[1] + 1) if w % (32 * g) == 0)
     return gh, gw

@@ -65,10 +65,12 @@ def pwcnet_loss(
             raise ValueError(mode)
         total = total + alpha * jnp.mean(jnp.sum(norm, axis=(1, 2)))
     if params is not None and gamma:
+        # reference: gamma * sum(tf.nn.l2_loss(var)) and l2_loss = sum(v^2)/2
+        # (model_pwcnet.py:524) — keep the /2 so gamma means the same thing
         wsum = sum(
             jnp.sum(jnp.square(p)) for p in jax.tree_util.tree_leaves(params)
         )
-        total = total + gamma * wsum
+        total = total + gamma * 0.5 * wsum
     return total
 
 

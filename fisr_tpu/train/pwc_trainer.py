@@ -171,6 +171,10 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
 
         tb = TBLogger(log_dir)
 
+    # jitted once per fit() call — re-jitting inside log_val_panel would
+    # recompile (10-70 s through the remote-compile relay) every val round
+    panel_apply = jax.jit(lambda p, a, b: pwcnet.apply(p, a, b, cfg, policy))
+
     def log_val_panel(params, step):
         """One flow-panel image summary from the first val batch."""
         import numpy as np
@@ -183,9 +187,7 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
             return
         n = min(panel_samples, len(vb["x"]))
         x = jnp.asarray(vb["x"][:n])
-        flow_pred, _ = jax.jit(
-            lambda p, a, b: pwcnet.apply(p, a, b, cfg, policy)
-        )(params, x[:, 0], x[:, 1])
+        flow_pred, _ = panel_apply(params, x[:, 0], x[:, 1])
         warped = dense_image_warp(x[:, 1], flow_pred.astype(jnp.float32))
         panel = flow_panels(np.asarray(vb["x"][:n]),
                             np.asarray(flow_pred, np.float32),
@@ -210,12 +212,18 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
             if tb:
                 tb.log_scalar("train/loss", float(m["loss"]), i)
         if (i + 1) % val_every == 0 or i + 1 == steps:
-            epes = [float(eval_fn(state.params,
-                                  {k: jnp.asarray(v) for k, v in vb.items()})["epe"])
+            # sample-weighted mean: batches() yields a final partial batch
+            # so every val sample counts exactly once
+            vals = [(float(eval_fn(state.params,
+                                   {k: jnp.asarray(v) for k, v in vb.items()})["epe"]),
+                     len(vb["x"]))
                     for vb in dataset.batches(batch_size, train=False)]
-            val_epe = sum(epes) / max(len(epes), 1)
-            print(f"step {i + 1}: val EPE {val_epe:.4f}", flush=True)
-            if tb:
+            n_val = sum(n for _, n in vals)
+            val_epe = (sum(e * n for e, n in vals) / n_val) if n_val else None
+            print(f"step {i + 1}: val EPE "
+                  f"{'n/a (empty val split)' if val_epe is None else f'{val_epe:.4f}'}",
+                  flush=True)
+            if tb and val_epe is not None:
                 tb.log_scalar("val/EPE", val_epe, i + 1)
                 log_val_panel(state.params, i + 1)
             mgr.save(int(state.step),

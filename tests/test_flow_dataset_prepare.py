@@ -23,6 +23,40 @@ def test_flow_dataset_synthetic_batches():
     assert vb["x"].shape == (1, 2, 24, 24, 3)
 
 
+def test_eval_batches_yield_partial_tail():
+    """Eval iteration must cover EVERY val sample: a final partial batch is
+    yielded (train keeps fixed-size batches). A val split smaller than the
+    batch size previously yielded nothing, silently making best-checkpoint
+    metrics empty."""
+    ds = FlowDataset.synthetic(n=8, h=16, w=16, val_split=0.4)  # 5 train / 3 val
+    assert ds.val_size == 3
+    sizes = [len(b["x"]) for b in ds.batches(2, train=False)]
+    assert sizes == [2, 1]
+    # val split smaller than batch: one partial batch with all samples
+    sizes = [len(b["x"]) for b in ds.batches(8, train=False)]
+    assert sizes == [3]
+    # threaded path agrees
+    sizes = [len(b["x"]) for b in ds.batches(2, train=False, num_workers=2)]
+    assert sizes == [2, 1]
+    # training contract unchanged: fixed-size batches only
+    sizes = [len(b["x"]) for b in ds.batches(2, train=True, epoch_seed=0)]
+    assert sizes == [2, 2]
+
+
+def test_pwc_weight_decay_matches_tf_l2_loss():
+    """gamma * sum(l2_loss(v)) with l2_loss = sum(v^2)/2 (reference
+    model_pwcnet.py:524) — the decay term must carry the /2."""
+    import jax.numpy as jnp
+
+    from fisr_tpu.train.pwc_loss import pwcnet_loss
+
+    params = {"a": jnp.full((2, 2), 3.0), "b": jnp.asarray([1.0, 2.0])}
+    y = jnp.zeros((1, 4, 4, 2))
+    total = pwcnet_loss(y, [], params=params, gamma=0.1)
+    want = 0.1 * 0.5 * (4 * 9.0 + 1.0 + 4.0)
+    np.testing.assert_allclose(float(total), want, rtol=1e-6)
+
+
 def test_flow_dataset_folder_roundtrip(tmp_path):
     from fisr_tpu.data import flo as flo_io
     from fisr_tpu.data.png_io import write_png

@@ -97,3 +97,15 @@ def test_tiled_exact_interior_patches(params):
     # conv reduction-order noise through the 3-level cascade (batched vs
     # per-patch): a handful of elements land just past the tighter tolerance
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-3)
+
+
+def test_best_grid_rules():
+    """Largest grid <= target with 32-multiple patches; non-32 frames get an
+    actionable error instead of 'max() arg is an empty sequence'."""
+    from fisr_tpu.infer.device import best_grid
+
+    assert best_grid(1024, 1920) == (4, 6)
+    assert best_grid(1056, 1920) == (3, 6)  # 1056 = 32*33 admits no (4,x)
+    assert best_grid(32, 32) == (1, 1)
+    with pytest.raises(ValueError, match="32-multiples"):
+        best_grid(1080, 1920)
