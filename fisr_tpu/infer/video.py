@@ -50,7 +50,7 @@ from fisr_tpu.ops.warp import dense_image_warp
 
 __all__ = ["make_flow_fn", "make_warp_fn", "make_pair_fn",
            "make_fisr_window_fn", "make_fused_video_step",
-           "run_video_pipeline"]
+           "resolve_fisr_grid", "run_video_pipeline"]
 
 
 def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -147,9 +147,36 @@ def make_pair_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
     return jax.jit(fn)
 
 
+def resolve_fisr_grid(fisr_grid, h: int, w: int, policy: Policy):
+    """Resolve a fisr_grid spec to a concrete (gh, gw).
+
+    'auto'  -> best_grid heuristic (v5e-measured (4,6) target);
+    'tuned' -> this device's measured winner from the autotune cache
+               (cli/tune.py), falling back to the heuristic if this frame
+               size was never tuned here;
+    tuple   -> passed through. Resolution happens at trace time (host).
+    """
+    from fisr_tpu.infer.device import best_grid
+
+    if fisr_grid == "auto":
+        return best_grid(h, w)
+    if fisr_grid == "tuned":
+        from fisr_tpu.infer.autotune import TuneCache
+
+        return (TuneCache().best(h, w, np.dtype(policy.compute_dtype).name)
+                or best_grid(h, w))
+    return tuple(fisr_grid)
+
+
 def _fisr_window_core(fisr_params, f0, f1, f2, flows01, warps01, flows12,
-                      warps12, policy: Policy, sf: int, fisr_grid):
-    """29-ch input assembly + FISRnet stage for one window (traceable)."""
+                      warps12, policy: Policy, sf: int, fisr_grid,
+                      clip_output: bool = True):
+    """29-ch input assembly + FISRnet stage for one window (traceable).
+
+    clip_output=False returns the raw (pre-[0,1]-clip) prediction — the
+    joint fine-tuning loss (train/joint.py) needs unsaturated gradients;
+    serving paths keep the clipped form.
+    """
     from fisr_tpu.models import fisrnet
 
     h, w = f0.shape[1], f0.shape[2]
@@ -166,13 +193,14 @@ def _fisr_window_core(fisr_params, f0, f1, f2, flows01, warps01, flows12,
     wp = jnp.clip(wp, 0.0, 1.0)
     inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
     if fisr_grid is not None:
-        from fisr_tpu.infer.device import best_grid, tiled_apply
+        from fisr_tpu.infer.device import tiled_apply
 
-        grid = (best_grid(h, w) if fisr_grid == "auto" else fisr_grid)
+        grid = resolve_fisr_grid(fisr_grid, h, w, policy)
         pred = tiled_apply(fisr_params, inp, grid, 32, sf, policy)
     else:
         pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
-    return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+    pred = pred.astype(jnp.float32)
+    return jnp.clip(pred, 0.0, 1.0) if clip_output else pred
 
 
 def make_fisr_window_fn(policy: Policy = F32, sf: int = 2, fisr_grid=None):
