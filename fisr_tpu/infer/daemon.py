@@ -1,0 +1,340 @@
+"""HTTP serving daemon: the pair-cached video pipeline behind a socket.
+
+SERVING.md describes the deployment modes; this module makes them runnable
+as a long-lived process (stdlib-only: ThreadingHTTPServer + PIL for PNG).
+The reference has no serving story at all — its video phase is three
+offline TF sessions round-tripping .flo/.mat files through disk
+(main.py:207-235); here the model stays resident and frames stream
+through HBM.
+
+Endpoints (see `protocol` framing below):
+
+  GET  /healthz                  -> {"status": "ok", ...}
+  GET  /v1/info                  -> model/config summary
+  POST /v1/window                -> 3 frames in, 3 frames out (one isolated
+                                    FISR window via the monolithic fused
+                                    step — flow+warp+FISRnet, ONE program)
+  POST /v1/stream/<id>/frame     -> 1 frame in; 204 while priming (first two
+                                    frames), then 3 frames out per frame.
+                                    Pair-cached: each adjacent pair's
+                                    bidirectional flow+warp is computed once
+                                    and feeds two windows (the steady-state
+                                    form PERF.md measured at 1.58x the
+                                    monolithic window).
+  DELETE /v1/stream/<id>         -> drop stream state
+
+Frame payloads are `application/x-fisr-frames`: u32 count, then per frame
+u32 length + PNG bytes (little-endian). Frames are YUV-as-PNG by default
+(the pipeline's native space, like the reference's inputs); pass
+`?colorspace=rgb` to convert at the edge. Outputs per window are
+[interp1, SR, interp2] at 2x resolution ([fr1, SR, fr2] — FISRnet.py:95-108
+channel order).
+
+Single-chip serving serializes device calls behind a lock; for multi-chip
+throughput, run one daemon per chip behind any HTTP load balancer, or use
+infer/serving.make_frame_parallel_stream_step inside one process.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["pack_frames", "unpack_frames", "FISRService", "make_server"]
+
+CONTENT_TYPE = "application/x-fisr-frames"
+
+
+# --------------------------------------------------------------------------
+# protocol
+# --------------------------------------------------------------------------
+
+def pack_frames(frames: List[np.ndarray]) -> bytes:
+    """[H,W,3] u8 arrays -> framed PNG payload (u32 count, (u32 len, png)*)."""
+    from PIL import Image
+
+    out = [struct.pack("<I", len(frames))]
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(f, np.uint8)).save(buf, format="PNG")
+        png = buf.getvalue()
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def unpack_frames(payload: bytes) -> List[np.ndarray]:
+    from PIL import Image
+
+    if len(payload) < 4:
+        raise ValueError("truncated frame payload")
+    (count,) = struct.unpack_from("<I", payload, 0)
+    off, frames = 4, []
+    for _ in range(count):
+        if off + 4 > len(payload):
+            raise ValueError("truncated frame payload")
+        (n,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + n > len(payload):
+            raise ValueError("truncated frame payload")
+        img = Image.open(io.BytesIO(payload[off : off + n]))
+        frames.append(np.asarray(img.convert("RGB"), np.uint8))
+        off += n
+    return frames
+
+
+# --------------------------------------------------------------------------
+# service: device-facing state
+# --------------------------------------------------------------------------
+
+class _StreamState:
+    """Device-resident carry for one stream: last two frames + last pair."""
+
+    __slots__ = ("prev2", "prev1", "pair", "count")
+
+    def __init__(self):
+        self.prev2 = None   # frame k-2 [1,h,w,3] device
+        self.prev1 = None   # frame k-1
+        self.pair = None    # (flows, warps) of (k-2, k-1)
+        self.count = 0
+
+
+class FISRService:
+    """Owns params + compiled programs + stream state; thread-safe."""
+
+    def __init__(self, fisr_params, pwc_params, height: int, width: int,
+                 policy=None, fisr_grid=None, upscale: int = 2, sf: int = 2,
+                 warmup: bool = True, max_streams: int = 64):
+        import jax.numpy as jnp
+
+        from fisr_tpu.infer.video import (make_fisr_window_fn,
+                                          make_fused_video_step, make_pair_fn)
+        from fisr_tpu.ops.conv import F32
+
+        if height % 32 or width % 32:
+            raise ValueError(f"frame {height}x{width} must be 32-multiples")
+        self.h, self.w, self.sf = height, width, sf
+        self.policy = policy or F32
+        self.fisr_params = fisr_params
+        self.pwc_params = pwc_params
+        self.fisr_grid = fisr_grid
+        self._window_step = make_fused_video_step(
+            policy=self.policy, upscale=upscale, sf=sf, fisr_grid=fisr_grid)
+        self._pair_fn = make_pair_fn(policy=self.policy, upscale=upscale)
+        self._win_fn = make_fisr_window_fn(
+            policy=self.policy, sf=sf, fisr_grid=fisr_grid)
+        # LRU-capped: each stream pins ~3 frames + 1 pair in HBM, so an
+        # unbounded client population would leak device memory
+        self._streams: "OrderedDict[str, _StreamState]" = OrderedDict()
+        self.max_streams = max_streams
+        self._lock = threading.Lock()       # device calls + stream state
+        self.stats = {"windows": 0, "stream_frames": 0, "pair_programs": 0}
+        if warmup:
+            z = jnp.zeros((1, 3, height, width, 3), jnp.float32)
+            np.asarray(self._window_step(fisr_params, pwc_params, z))
+            zf = z[:, 0]
+            pair = self._pair_fn(pwc_params, zf, zf)
+            np.asarray(self._win_fn(fisr_params, z, pair, pair))
+
+    # ---- helpers ----
+
+    def _to_device(self, frame_u8: np.ndarray):
+        import jax.numpy as jnp
+
+        if frame_u8.shape[:2] != (self.h, self.w):
+            raise ValueError(
+                f"frame is {frame_u8.shape[0]}x{frame_u8.shape[1]}, server "
+                f"compiled for {self.h}x{self.w}")
+        return jnp.asarray(frame_u8, jnp.float32)[None]  # [1,h,w,3], [0,255]
+
+    @staticmethod
+    def _window_out_to_u8(pred) -> List[np.ndarray]:
+        """[1, H, W, 9] in [0,1] -> 3 u8 frames [interp1, SR, interp2]."""
+        arr = np.asarray(pred[0], np.float32)
+        out = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+        return [out[..., 0:3], out[..., 3:6], out[..., 6:9]]
+
+    # ---- endpoints ----
+
+    def info(self) -> dict:
+        import jax
+
+        return {
+            "model": "FISRnet",
+            "frame": [self.h, self.w],
+            "scale_factor": self.sf,
+            "dtype": np.dtype(self.policy.compute_dtype).name,
+            "fisr_grid": (list(self.fisr_grid)
+                          if isinstance(self.fisr_grid, tuple)
+                          else self.fisr_grid),
+            "device": getattr(jax.devices()[0], "device_kind",
+                              jax.devices()[0].platform),
+            "streams": len(self._streams),
+            "stats": dict(self.stats),
+        }
+
+    def window(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+        """Isolated 3-frame window -> 3 output frames (monolithic program)."""
+        import jax.numpy as jnp
+
+        if len(frames) != 3:
+            raise ValueError(f"window needs exactly 3 frames, got {len(frames)}")
+        with self._lock:
+            stack = jnp.stack([self._to_device(f)[0] for f in frames])[None]
+            pred = self._window_step(self.fisr_params, self.pwc_params, stack)
+            out = self._window_out_to_u8(np.asarray(pred))
+            self.stats["windows"] += 1
+        return out
+
+    def stream_frame(self, stream_id: str, frame: np.ndarray
+                     ) -> Optional[List[np.ndarray]]:
+        """Feed one frame to a stream; returns a window output once primed.
+
+        Pair-cached: frame k triggers ONE pair program for (k-1, k) and one
+        window program over (k-2, k-1, k) reusing the cached (k-2, k-1)
+        pair — the steady-state streaming form (run_video_pipeline's loop,
+        PERF.md pair-cached streaming).
+        """
+        import jax.numpy as jnp
+
+        with self._lock:
+            st = self._streams.get(stream_id)
+            if st is None:
+                st = self._streams[stream_id] = _StreamState()
+                while len(self._streams) > self.max_streams:
+                    self._streams.popitem(last=False)   # evict LRU
+            else:
+                self._streams.move_to_end(stream_id)
+            dev = self._to_device(frame)
+            st.count += 1
+            self.stats["stream_frames"] += 1
+            if st.prev1 is None:
+                st.prev1 = dev
+                return None
+            pair_new = self._pair_fn(self.pwc_params, st.prev1, dev)
+            self.stats["pair_programs"] += 1
+            out = None
+            if st.pair is not None:
+                stack = jnp.stack([st.prev2[0], st.prev1[0], dev[0]])[None]
+                pred = self._win_fn(self.fisr_params, stack, st.pair, pair_new)
+                out = self._window_out_to_u8(np.asarray(pred))
+                self.stats["windows"] += 1
+            st.prev2, st.prev1, st.pair = st.prev1, dev, pair_new
+        return out
+
+    def drop_stream(self, stream_id: str) -> bool:
+        with self._lock:
+            return self._streams.pop(stream_id, None) is not None
+
+
+# --------------------------------------------------------------------------
+# HTTP layer
+# --------------------------------------------------------------------------
+
+def _yuv_from(frames: List[np.ndarray], colorspace: str) -> List[np.ndarray]:
+    if colorspace == "yuv":
+        return frames
+    from fisr_tpu.ops.color import rgb2yuv_matlab
+
+    # rgb2yuv_matlab is [0,255] -> [0,255] (MATLAB constants)
+    return [np.asarray(np.clip(np.rint(
+        np.asarray(rgb2yuv_matlab(f.astype(np.float32)))), 0, 255),
+        np.uint8) for f in frames]
+
+
+def _yuv_to(frames: List[np.ndarray], colorspace: str) -> List[np.ndarray]:
+    if colorspace == "yuv":
+        return frames
+    from fisr_tpu.ops.color import yuv2rgb_matlab_u8
+
+    return [yuv2rgb_matlab_u8(f) for f in frames]
+
+
+def make_server(service: FISRService, host: str = "127.0.0.1",
+                port: int = 8417) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() to run."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _frames(self, frames: List[np.ndarray]):
+            body = pack_frames(frames)
+            self.send_response(200)
+            self.send_header("Content-Type", CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _colorspace(self) -> str:
+            q = self.path.split("?", 1)
+            if len(q) == 2 and "colorspace=rgb" in q[1]:
+                return "rgb"
+            return "yuv"
+
+        def _route(self) -> Tuple[str, List[str]]:
+            return self.path.split("?", 1)[0].rstrip("/"), []
+
+        def do_GET(self):
+            path, _ = self._route()
+            if path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif path == "/v1/info":
+                self._json(200, service.info())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path, _ = self._route()
+            cs = self._colorspace()
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                frames = _yuv_from(unpack_frames(self.rfile.read(n)), cs)
+                if path == "/v1/window":
+                    self._frames(_yuv_to(service.window(frames), cs))
+                    return
+                parts = path.split("/")
+                if (len(parts) == 5 and parts[1] == "v1"
+                        and parts[2] == "stream" and parts[4] == "frame"):
+                    if len(frames) != 1:
+                        raise ValueError("stream frame posts take 1 frame")
+                    out = service.stream_frame(parts[3], frames[0])
+                    if out is None:
+                        self._json(202, {"status": "priming"})
+                    else:
+                        self._frames(_yuv_to(out, cs))
+                    return
+                self._json(404, {"error": f"unknown path {path}"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            path, _ = self._route()
+            parts = path.split("/")
+            if len(parts) == 4 and parts[1] == "v1" and parts[2] == "stream":
+                gone = service.drop_stream(parts[3])
+                self._json(200 if gone else 404,
+                           {"dropped": gone, "stream": parts[3]})
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,148 @@
+"""Serving daemon: protocol framing, window + pair-cached stream endpoints.
+
+Equivalence anchor: the stream endpoint must produce the SAME window output
+as the monolithic /v1/window for the same 3 frames (the pair-cached
+decomposition equality pinned at tensor level in tests/test_video_fused.py,
+re-checked here through the full HTTP + PNG round trip).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from fisr_tpu.infer.daemon import (FISRService, make_server, pack_frames,
+                                   unpack_frames)
+from fisr_tpu.models import fisrnet, pwcnet
+
+H = W = 64  # 32-multiple and PWC 64-multiple
+
+
+def test_frame_protocol_roundtrip():
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (H, W, 3), np.uint8) for _ in range(3)]
+    got = unpack_frames(pack_frames(frames))
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        unpack_frames(b"\x03\x00\x00\x00junk")
+
+
+@pytest.fixture(scope="module")
+def service():
+    fisr = fisrnet.init_params(jax.random.PRNGKey(0))
+    pwc = pwcnet.init_params(jax.random.PRNGKey(1))
+    return FISRService(fisr, pwc, H, W, warmup=False)
+
+
+@pytest.fixture(scope="module")
+def url(service):
+    server = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, payload, ctype="application/x-fisr-frames"):
+    req = urllib.request.Request(url, data=payload,
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def _frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, (H, W, 3), np.uint8) for _ in range(n)]
+
+
+def test_health_and_info(url):
+    with urllib.request.urlopen(url + "/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(url + "/v1/info") as r:
+        info = json.loads(r.read())
+    assert info["model"] == "FISRnet"
+    assert info["frame"] == [H, W]
+
+
+def test_window_endpoint(url):
+    code, ctype, body = _post(url + "/v1/window", pack_frames(_frames(3)))
+    assert code == 200 and ctype == "application/x-fisr-frames"
+    out = unpack_frames(body)
+    assert len(out) == 3
+    assert all(f.shape == (2 * H, 2 * W, 3) for f in out)
+
+
+def test_window_wrong_count_is_400(url):
+    code, _, body = _post(url + "/v1/window", pack_frames(_frames(2)))
+    assert code == 400 and b"3 frames" in body
+
+
+def test_wrong_frame_size_is_400(url):
+    bad = [np.zeros((H // 2, W, 3), np.uint8)] * 3
+    code, _, body = _post(url + "/v1/window", pack_frames(bad))
+    assert code == 400 and b"compiled for" in body
+
+
+def test_stream_matches_monolithic_window(url, service):
+    frames = _frames(4, seed=7)
+    pair0 = service.stats["pair_programs"]
+
+    # priming: first two frames return 202
+    for k in range(2):
+        code, _, _ = _post(url + "/v1/stream/s1/frame",
+                           pack_frames(frames[k : k + 1]))
+        assert code == 202
+    # frame 3 completes window (f0, f1, f2)
+    code, _, body = _post(url + "/v1/stream/s1/frame",
+                          pack_frames(frames[2:3]))
+    assert code == 200
+    stream_out = unpack_frames(body)
+
+    code, _, body = _post(url + "/v1/window", pack_frames(frames[:3]))
+    mono_out = unpack_frames(body)
+    for a, b in zip(stream_out, mono_out):
+        # same math, different program decomposition + u8 rounding
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 0.02
+        assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+    # frame 4: steady state must run exactly ONE new pair program
+    pairs_before = service.stats["pair_programs"]
+    code, _, _ = _post(url + "/v1/stream/s1/frame", pack_frames(frames[3:4]))
+    assert code == 200
+    assert service.stats["pair_programs"] == pairs_before + 1
+    assert service.stats["pair_programs"] - pair0 == 3  # 4 frames -> 3 pairs
+
+    # drop the stream
+    req = urllib.request.Request(url + "/v1/stream/s1", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["dropped"] is True
+
+
+def test_stream_lru_eviction(service):
+    service.max_streams = 2
+    f = _frames(1, seed=9)[0]
+    for sid in ("a", "b", "c"):        # c evicts a (LRU, cap 2)
+        service.stream_frame(sid, f)
+    assert "a" not in service._streams and len(service._streams) == 2
+    # touching b then adding d evicts c, not b
+    service.stream_frame("b", f)
+    service.stream_frame("d", f)
+    assert set(service._streams) == {"b", "d"}
+    for sid in ("b", "d"):
+        service.drop_stream(sid)
+
+
+def test_rgb_colorspace_roundtrip(url):
+    code, _, body = _post(url + "/v1/window?colorspace=rgb",
+                          pack_frames(_frames(3, seed=3)))
+    assert code == 200
+    out = unpack_frames(body)
+    assert all(f.shape == (2 * H, 2 * W, 3) for f in out)
