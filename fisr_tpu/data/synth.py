@@ -18,9 +18,9 @@ from fisr_tpu.data import flo as flo_io
 from fisr_tpu.data import matio
 from fisr_tpu.data.dataset import TrainStore, _merge
 
-__all__ = ["synthetic_arrays", "synthetic_store", "write_synthetic_corpus",
-           "write_synthetic_test_set", "write_synthetic_video_folder",
-           "write_synthetic_video_scene"]
+__all__ = ["synthetic_arrays", "synthetic_store", "synthetic_video_windows",
+           "write_synthetic_corpus", "write_synthetic_test_set",
+           "write_synthetic_video_folder", "write_synthetic_video_scene"]
 
 
 def _scene(rng, n_frames: int, h: int, w: int, return_motion: bool = False):
@@ -144,6 +144,29 @@ def write_synthetic_test_set(folder: str, n_scenes: int = 1, h: int = 96,
     flo_io.write_flo_5dim(flow, paths["test_flow_data_path"])
     matio.write_warp_mat(warp, paths["test_warped_data_path"])
     return paths
+
+
+def synthetic_video_windows(n: int, h: int = 64, w: int = 64, seed: int = 0):
+    """Joint fine-tuning batches on the serving-window contract.
+
+    Returns (frames [N,3,h,w,3] YUV f32 in [0,255],
+             targets [N,2h,2w,9] f32 in [0,1]) where target channels are
+    the window's three output half-steps [VFI 2fr+1, SR 2fr+2, VFI 2fr+3]
+    — the same LR<->HR half-step geometry as write_synthetic_video_scene
+    (SR supervises the MIDDLE input frame's 2x image). Two windows per
+    generated scene; scenes vary motion/frequency/phase via `seed`.
+    """
+    rng = np.random.default_rng(seed)
+    frames, targets = [], []
+    while len(frames) < n:
+        hi = _scene(rng, 7, 2 * h, 2 * w)   # half-steps t = 0..6
+        lr = hi[::2][:, ::2, ::2]           # input frames at t = 0,2,4,6
+        for fr in range(2):                 # windows (0,1,2) and (1,2,3)
+            frames.append(lr[fr : fr + 3])
+            targets.append(np.concatenate(
+                [hi[2 * fr + 1], hi[2 * fr + 2], hi[2 * fr + 3]], axis=-1))
+    return (np.stack(frames[:n]).astype(np.float32),
+            np.stack(targets[:n]).astype(np.float32) / 255.0)
 
 
 def write_synthetic_video_folder(folder: str, n_frames: int = 3, h: int = 64,

@@ -1,0 +1,103 @@
+"""Device-resident FISRnet synthetic training — for relay-class hosts.
+
+train_fisr_synth.py streams every batch through the host link; through the axon
+relay (~40 MB/s) a batch-32 step moves ~200 MB and the run is 100x
+upload-bound (measured: 15 min/epoch vs 182 ms/step of compute —
+scripts/bench_train.py). This variant uploads the WHOLE corpus to HBM once
+(n=1024 at 96x96 is ~6 GB, comfortably inside a 16 GB v5e) and batches by
+on-device gather, so epochs run at the training-step speed.
+
+On a non-relay host the standard prefetch pipeline (train/loop.fit) is the
+production path; this script exists to produce convergence receipts and
+checkpoints from behind the relay.
+
+Run:
+  env PYTHONPATH=/root/repo:/root/.axon_site \\
+      python scripts/train_fisr_synth_fast.py
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--hw", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--val_size", type=int, default=32)
+    ap.add_argument("--ckpt_dir", type=str,
+                    default="checkpoint_dir/FISRnet_exp99")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fisr_tpu.data.synth import synthetic_store
+    from fisr_tpu.ops.conv import Policy
+    from fisr_tpu.train import schedule
+    from fisr_tpu.train.checkpoint import CheckpointManager
+    from fisr_tpu.train.trainer import (adam_with_schedule, create_state,
+                                        make_train_step, make_val_step)
+
+    store = synthetic_store(n_samples=args.n, h=args.hw, w=args.hw, seed=0,
+                            val_size=args.val_size)
+    ntr = store.train_size
+
+    print(f" [*] uploading corpus to HBM: {args.n} samples ...", flush=True)
+    t0 = time.time()
+    dev = {k: jnp.asarray(getattr(store, k), jnp.float32)
+           for k in ("data", "label", "flow", "flow_ss2", "warp", "warp_ss2")}
+    float(jnp.mean(dev["label"][0, :2, :2, 0]))  # fence the uploads
+    print(f" [*] uploaded in {time.time()-t0:.1f} s", flush=True)
+
+    def gather(idx, val=False):
+        sl = (lambda a: a[ntr:]) if val else (lambda a: a[:ntr])
+        return {k: jnp.take(sl(dev[k]), idx, axis=0) for k in dev}
+
+    policy = Policy(jnp.bfloat16)
+    opt = adam_with_schedule(
+        schedule.stair_decay(args.lr, [int(args.epochs * 0.8) *
+                                       (ntr // args.batch)], 0.1))
+    step = make_train_step(opt, policy=policy, donate=True)
+    val_step = make_val_step(policy=policy)
+    state = create_state(jax.random.PRNGKey(0), opt)
+    mgr = CheckpointManager(args.ckpt_dir, best_mode="max")
+
+    def run_val(params):
+        vb = min(args.val_size, 8)
+        ps = []
+        for i in range(0, args.val_size, vb):
+            idx = jnp.arange(i, i + vb)
+            b = gather(idx, val=True)
+            ps.append(float(val_step(params, {"data": b["data"],
+                                              "flow": b["flow"],
+                                              "warp": b["warp"],
+                                              "label": b["label"]}
+                                     )["val_PSNR"]))
+        return float(np.mean(ps))
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for ep in range(args.epochs):
+        perm = rng.permutation(ntr)
+        loss = None
+        for s in range(ntr // args.batch):
+            idx = jnp.asarray(perm[s * args.batch : (s + 1) * args.batch])
+            state, metrics = step(state, gather(idx))
+            loss = metrics["total_loss"]
+        if (ep + 1) % 5 == 0 or ep == args.epochs - 1:
+            p = run_val(state.params)
+            print(f"epoch {ep+1:3d}/{args.epochs}  val_PSNR {p:7.3f} dB  "
+                  f"loss {float(loss):.4f}  ({time.time()-t0:.0f} s)",
+                  flush=True)
+            mgr.save(int(state.step), {"params": state.params}, metric=p)
+    print(f" [*] done; best checkpoint in {args.ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
