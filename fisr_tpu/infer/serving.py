@@ -97,7 +97,7 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
     window 0 first pair). Reference semantics unchanged: same three-stage
     math as FISRnet.py:937-1084, just partitioned.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from fisr_tpu.infer.video import (_fisr_window_core, _flow_core,
                                       _warp_core)
@@ -130,7 +130,9 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
         local_step, mesh=mesh,
         in_specs=(rep, rep, P(axis), rep),
         out_specs=(P(axis), (P(axis), P(axis))),
-        check_rep=False,
+        # axis_index/ppermute make the body varying in `axis`; skip the
+        # varying-manual-axes check (jax>=0.8 name for the old check_rep)
+        check_vma=False,
     )
 
     def fn(fisr_params, pwc_params, frames, left_pair):

@@ -25,7 +25,7 @@ from fisr_tpu.ops.conv import F32, Policy
 try:  # jax>=0.6 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
 __all__ = ["make_sharded_runner"]
 

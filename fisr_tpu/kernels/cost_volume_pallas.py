@@ -134,7 +134,7 @@ def _cost_volume_pallas_impl(c1: jnp.ndarray, c2: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, th, cp, w2p), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # c2: haloed manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # c2: haloed manual DMA
         ],
         out_specs=pl.BlockSpec((1, n * n, th, w2p), lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
