@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--fisr_ckpt", default="checkpoint_dir/FISRnet_exp99")
     ap.add_argument("--pwc_ckpt", default="checkpoint_dir/pwcnet")
+    ap.add_argument("--save_dir", default=None,
+                    help="save the fine-tuned trees as <save_dir>/FISRnet_joint"
+                         " and <save_dir>/pwcnet_joint")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +102,15 @@ def main():
                   f"(train loss {float(metrics['joint_loss']):.5f}, "
                   f"{(time.time()-t0)/s:.2f} s/step)")
     print(f"delta: {p - p0:+.3f} dB over {args.steps} joint steps")
+    if args.save_dir:
+        import os
+
+        for name, params, metric in (
+                ("FISRnet_joint", state.fisr_params, p),
+                ("pwcnet_joint", state.pwc_params, None)):
+            mgr = CheckpointManager(os.path.join(args.save_dir, name))
+            mgr.save(args.steps, {"params": params}, metric=metric)
+        print(f" [*] saved fine-tuned checkpoints under {args.save_dir}")
 
 
 if __name__ == "__main__":
