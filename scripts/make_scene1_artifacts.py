@@ -31,8 +31,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pwc_ckpt", default=None,
                     help="trained/converted PWC checkpoint dir for the flow "
-                         "stage (e.g. checkpoint_dir/pwcnet_synth); default "
+                         "stage (e.g. checkpoint_dir/pwcnet_joint); default "
                          "= fresh init with the CLI's loud warning")
+    ap.add_argument("--exp_num", type=int, default=None,
+                    help="FISRnet experiment checkpoint to restore (e.g. "
+                         "99 for the synthetic-trained tree); default = "
+                         "fresh init")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scene1_")
@@ -43,16 +47,22 @@ def main():
     ]
     if args.pwc_ckpt:
         cli_args += ["--pwc_ckpt", args.pwc_ckpt]
+    if args.exp_num is not None:
+        cli_args += ["--exp_num", str(args.exp_num)]
     cli.main(cli_args)
 
     os.makedirs(OUT, exist_ok=True)
     pwc_desc = (f"PWC-Net restored from {args.pwc_ckpt} (synthetic-corpus "
                 "trained, see PERF.md)" if args.pwc_ckpt else
                 "PRNGKey(1) fresh init (RANDOM flow)")
+    fisr_desc = (f"restored from checkpoint_dir/FISRnet_exp{args.exp_num} "
+                 "(synthetic-corpus trained, see PERF.md)"
+                 if args.exp_num is not None else
+                 "seeded fresh init PRNGKey(0)")
     rec = {
         "inputs": "reference FISR_test_folder/scene1 (5 real 1080x1920 YUV PNGs)",
         "pipeline": "FISR_for_video --fused (PWC flow + warp + FISRnet, one XLA program/window)",
-        "weights": (f"FISRnet: seeded fresh init PRNGKey(0); flow: {pwc_desc}. "
+        "weights": (f"FISRnet: {fisr_desc}; flow: {pwc_desc}. "
                     "The released TF weights are an external download not "
                     "present in this environment; swap in convert.cli output "
                     "when available"),

@@ -55,6 +55,22 @@ def test_tune_cache_roundtrip(tmp_path, params):
     assert "96x96" in key and "float32" in key
 
 
+def test_tune_cli_end_to_end(tmp_path, capsys):
+    import json as _json
+
+    from fisr_tpu.cli import tune as tune_cli
+
+    path = str(tmp_path / "cache.json")
+    tune_cli.main(["--height", "96", "--width", "96", "--dtype", "float32",
+                   "--reps", "1", "--cache", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = _json.loads(out[-1])
+    assert rec["frame"] == [96, 96] and rec["cache"] == path
+    gh, gw = rec["best_grid"]
+    assert 96 % (32 * gh) == 0 and 96 % (32 * gw) == 0
+    assert json.load(open(path))  # persisted
+
+
 def test_resolve_fisr_grid(tmp_path, params, monkeypatch):
     from fisr_tpu.infer import autotune
     from fisr_tpu.infer.device import best_grid
