@@ -140,6 +140,31 @@ def test_stream_lru_eviction(service):
         service.drop_stream(sid)
 
 
+def test_concurrent_clients(url, service):
+    """4 threads x (window + stream) posts: the device lock must serialize
+    without deadlock and every request must complete."""
+    import concurrent.futures as cf
+
+    service.max_streams = 64  # the eviction test above shrank the cap
+
+    def worker(k):
+        f = _frames(3, seed=100 + k)
+        code, _, body = _post(url + "/v1/window", pack_frames(f))
+        assert code == 200 and len(unpack_frames(body)) == 3
+        codes = []
+        for i in range(3):
+            code, _, _ = _post(f"{url}/v1/stream/conc{k}/frame",
+                               pack_frames(f[i : i + 1]))
+            codes.append(code)
+        assert codes == [202, 202, 200]
+        return k
+
+    with cf.ThreadPoolExecutor(4) as ex:
+        assert sorted(ex.map(worker, range(4))) == [0, 1, 2, 3]
+    for k in range(4):
+        service.drop_stream(f"conc{k}")
+
+
 def test_rgb_colorspace_roundtrip(url):
     code, _, body = _post(url + "/v1/window?colorspace=rgb",
                           pack_frames(_frames(3, seed=3)))
