@@ -56,6 +56,45 @@ def test_joint_step_updates_both_models_and_descends(params):
     assert np.isfinite(float(metrics["joint_PSNR"]))
 
 
+def test_joint_step_data_parallel_matches_local(params):
+    """DP over the virtual mesh: replicated params + batch sharded on
+    'data' must produce the same update as the local step (GSPMD inserts
+    the gradient psum — same contract as trainer.make_train_step,
+    test_distributed)."""
+    import numpy as np
+
+    from fisr_tpu.core.mesh import make_mesh, replicated, shard_batch
+
+    fisr0, pwc0 = params
+    step = make_joint_train_step(optax.adam(1e-4), optax.adam(1e-5),
+                                 donate=False)
+    batch = _batch(3)
+
+    state_l = create_joint_state(fisr0, pwc0, optax.adam(1e-4),
+                                 optax.adam(1e-5))
+    state_l, m_l = step(state_l, batch)
+
+    mesh = make_mesh((2, 1))
+    state_s = create_joint_state(fisr0, pwc0, optax.adam(1e-4),
+                                 optax.adam(1e-5))
+    state_s = jax.device_put(state_s, replicated(mesh))
+    state_s, m_s = step(state_s, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m_s["joint_loss"]),
+                               float(m_l["joint_loss"]), rtol=1e-5)
+    # Adam's FIRST step is +-lr elementwise, so a near-zero gradient whose
+    # sign flips under psum reassociation shows up as exactly 2*lr on that
+    # element. Bound every element by 2*lr and the mean by a tiny value
+    # (i.e. at most a handful of sign-flipped zeros, everything else equal).
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.fisr_params),
+                    jax.tree_util.tree_leaves(state_l.fisr_params)):
+        d = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        assert d.max() <= 2 * 1e-4 + 1e-6          # at worst a flipped zero
+        flips = d > 1e-5
+        assert flips.mean() <= 0.02                 # sign flips are rare
+        assert d[~flips].max(initial=0.0) <= 1e-5   # everything else equal
+
+
 def test_frozen_pwc_mode(params):
     fisr0, pwc0 = params
     step = make_joint_train_step(optax.adam(1e-4), None, donate=False)
