@@ -11,6 +11,7 @@ Endpoints (see `protocol` framing below):
 
   GET  /healthz                  -> {"status": "ok", ...}
   GET  /v1/info                  -> model/config summary
+  GET  /metrics                  -> Prometheus text format (counters)
   POST /v1/window                -> 3 frames in, 3 frames out (one isolated
                                     FISR window via the monolithic fused
                                     step — flow+warp+FISRnet, ONE program)
@@ -233,6 +234,17 @@ class FISRService:
         with self._lock:
             return self._streams.pop(stream_id, None) is not None
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the service counters."""
+        lines = []
+        for k, v in sorted(self.stats.items()):
+            name = f"fisr_{k}_total"
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {v}")
+        lines.append("# TYPE fisr_active_streams gauge")
+        lines.append(f"fisr_active_streams {len(self._streams)}")
+        return "\n".join(lines) + "\n"
+
 
 # --------------------------------------------------------------------------
 # HTTP layer
@@ -298,6 +310,14 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 self._json(200, {"status": "ok"})
             elif path == "/v1/info":
                 self._json(200, service.info())
+            elif path == "/metrics":
+                body = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

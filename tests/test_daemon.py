@@ -63,6 +63,15 @@ def _frames(n, seed=0):
     return [rng.integers(0, 255, (H, W, 3), np.uint8) for _ in range(n)]
 
 
+def test_metrics_endpoint(url, service):
+    with urllib.request.urlopen(url + "/metrics") as r:
+        assert r.headers.get("Content-Type", "").startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE fisr_windows_total counter" in text
+    assert f"fisr_windows_total {service.stats['windows']}" in text
+    assert "fisr_active_streams" in text
+
+
 def test_health_and_info(url):
     with urllib.request.urlopen(url + "/healthz") as r:
         assert json.loads(r.read())["status"] == "ok"
