@@ -15,7 +15,7 @@ Endpoints (see `protocol` framing below):
   POST /v1/window                -> 3 frames in, 3 frames out (one isolated
                                     FISR window via the monolithic fused
                                     step — flow+warp+FISRnet, ONE program)
-  POST /v1/stream/<id>/frame     -> 1 frame in; 204 while priming (first two
+  POST /v1/stream/<id>/frame     -> 1 frame in; 202 while priming (first two
                                     frames), then 3 frames out per frame.
                                     Pair-cached: each adjacent pair's
                                     bidirectional flow+warp is computed once
@@ -44,7 +44,7 @@ import struct
 import threading
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -98,13 +98,12 @@ def unpack_frames(payload: bytes) -> List[np.ndarray]:
 class _StreamState:
     """Device-resident carry for one stream: last two frames + last pair."""
 
-    __slots__ = ("prev2", "prev1", "pair", "count")
+    __slots__ = ("prev2", "prev1", "pair")
 
     def __init__(self):
         self.prev2 = None   # frame k-2 [1,h,w,3] device
         self.prev1 = None   # frame k-1
         self.pair = None    # (flows, warps) of (k-2, k-1)
-        self.count = 0
 
 
 class FISRService:
@@ -214,7 +213,6 @@ class FISRService:
             else:
                 self._streams.move_to_end(stream_id)
             dev = self._to_device(frame)
-            st.count += 1
             self.stats["stream_frames"] += 1
             if st.prev1 is None:
                 st.prev1 = dev
@@ -301,11 +299,11 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 return "rgb"
             return "yuv"
 
-        def _route(self) -> Tuple[str, List[str]]:
-            return self.path.split("?", 1)[0].rstrip("/"), []
+        def _route(self) -> str:
+            return self.path.split("?", 1)[0].rstrip("/")
 
         def do_GET(self):
-            path, _ = self._route()
+            path = self._route()
             if path == "/healthz":
                 self._json(200, {"status": "ok"})
             elif path == "/v1/info":
@@ -322,7 +320,7 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 self._json(404, {"error": f"unknown path {path}"})
 
         def do_POST(self):
-            path, _ = self._route()
+            path = self._route()
             cs = self._colorspace()
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -348,7 +346,7 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_DELETE(self):
-            path, _ = self._route()
+            path = self._route()
             parts = path.split("/")
             if len(parts) == 4 and parts[1] == "v1" and parts[2] == "stream":
                 gone = service.drop_stream(parts[3])
