@@ -31,6 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fisr_grid", default="auto",
                    help="'auto' (heuristic), 'tuned' (autotune cache), "
                         "'full' (no tiling), or 'GH,GW'")
+    p.add_argument("--multichip", action="store_true",
+                   help="one service per local device in this process; "
+                        "streams pin to a chip, windows round-robin")
+    p.add_argument("--auth_token", type=str, default=None,
+                   help="require 'Authorization: Bearer <token>' on every "
+                        "endpoint except /healthz")
+    p.add_argument("--max_request_bytes", type=int,
+                   default=192 * 1024 * 1024,
+                   help="reject larger POST bodies with 413")
     return p
 
 
@@ -50,7 +59,8 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from fisr_tpu.cli.main import _load_params, _load_pwc_params
-    from fisr_tpu.infer.daemon import FISRService, make_server
+    from fisr_tpu.infer.daemon import (FISRService, MultiChipService,
+                                       make_server)
     from fisr_tpu.ops.conv import Policy
 
     policy = Policy(jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -60,11 +70,15 @@ def main(argv=None) -> None:
         cast = lambda t: t.astype(jnp.bfloat16)  # noqa: E731 — cast once at load
         fisr_params = jax.tree_util.tree_map(cast, fisr_params)
 
+    cls = MultiChipService if args.multichip else FISRService
+    n = len(jax.local_devices()) if args.multichip else 1
     print(f" [*] compiling for {args.height}x{args.width} "
-          f"({args.dtype}, grid={args.fisr_grid}) ...")
-    service = FISRService(fisr_params, pwc_params, args.height, args.width,
-                          policy=policy, fisr_grid=_parse_grid(args.fisr_grid))
-    server = make_server(service, args.host, args.port)
+          f"({args.dtype}, grid={args.fisr_grid}, {n} chip(s)) ...")
+    service = cls(fisr_params, pwc_params, args.height, args.width,
+                  policy=policy, fisr_grid=_parse_grid(args.fisr_grid))
+    server = make_server(service, args.host, args.port,
+                         auth_token=args.auth_token,
+                         max_request_bytes=args.max_request_bytes)
     print(f" [*] serving on http://{args.host}:{args.port} "
           f"(/healthz, /v1/info, /v1/window, /v1/stream/<id>/frame)")
     try:

@@ -32,23 +32,35 @@ u32 length + PNG bytes (little-endian). Frames are YUV-as-PNG by default
 channel order).
 
 Single-chip serving serializes device calls behind a lock; for multi-chip
-throughput, run one daemon per chip behind any HTTP load balancer, or use
-infer/serving.make_frame_parallel_stream_step inside one process.
+throughput inside ONE process, `MultiChipService` pins one `FISRService`
+per local device and routes each stream to a fixed chip (crc32 of the
+stream id) so different streams run concurrently on different chips —
+the serving-topology analog of the reference's one-process-per-GPU
+deployment, with no load balancer needed.
+
+Hardening: `make_server(auth_token=...)` requires `Authorization: Bearer`
+on every endpoint except /healthz (load-balancer probes stay open), and
+`max_request_bytes` rejects oversized posts with 413 before reading the
+body off the socket.
 """
 
 from __future__ import annotations
 
+import hmac
 import io
+import itertools
 import json
 import struct
 import threading
+import zlib
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["pack_frames", "unpack_frames", "FISRService", "make_server"]
+__all__ = ["pack_frames", "unpack_frames", "FISRService", "MultiChipService",
+           "make_server"]
 
 CONTENT_TYPE = "application/x-fisr-frames"
 
@@ -111,7 +123,8 @@ class FISRService:
 
     def __init__(self, fisr_params, pwc_params, height: int, width: int,
                  policy=None, fisr_grid=None, upscale: int = 2, sf: int = 2,
-                 warmup: bool = True, max_streams: int = 64):
+                 warmup: bool = True, max_streams: int = 64, device=None):
+        import jax
         import jax.numpy as jnp
 
         from fisr_tpu.infer.video import (make_fisr_window_fn,
@@ -122,6 +135,13 @@ class FISRService:
             raise ValueError(f"frame {height}x{width} must be 32-multiples")
         self.h, self.w, self.sf = height, width, sf
         self.policy = policy or F32
+        # Pinning params to a device commits every downstream computation to
+        # it (jit follows committed operands), which is what lets
+        # MultiChipService run one service per chip in one process.
+        self.device = device
+        if device is not None:
+            fisr_params = jax.device_put(fisr_params, device)
+            pwc_params = jax.device_put(pwc_params, device)
         self.fisr_params = fisr_params
         self.pwc_params = pwc_params
         self.fisr_grid = fisr_grid
@@ -138,6 +158,8 @@ class FISRService:
         self.stats = {"windows": 0, "stream_frames": 0, "pair_programs": 0}
         if warmup:
             z = jnp.zeros((1, 3, height, width, 3), jnp.float32)
+            if device is not None:
+                z = jax.device_put(z, device)
             np.asarray(self._window_step(fisr_params, pwc_params, z))
             zf = z[:, 0]
             pair = self._pair_fn(pwc_params, zf, zf)
@@ -146,13 +168,15 @@ class FISRService:
     # ---- helpers ----
 
     def _to_device(self, frame_u8: np.ndarray):
+        import jax
         import jax.numpy as jnp
 
         if frame_u8.shape[:2] != (self.h, self.w):
             raise ValueError(
                 f"frame is {frame_u8.shape[0]}x{frame_u8.shape[1]}, server "
                 f"compiled for {self.h}x{self.w}")
-        return jnp.asarray(frame_u8, jnp.float32)[None]  # [1,h,w,3], [0,255]
+        x = jnp.asarray(frame_u8, jnp.float32)[None]  # [1,h,w,3], [0,255]
+        return x if self.device is None else jax.device_put(x, self.device)
 
     @staticmethod
     def _window_out_to_u8(pred) -> List[np.ndarray]:
@@ -166,6 +190,7 @@ class FISRService:
     def info(self) -> dict:
         import jax
 
+        dev = self.device if self.device is not None else jax.devices()[0]
         return {
             "model": "FISRnet",
             "frame": [self.h, self.w],
@@ -174,8 +199,7 @@ class FISRService:
             "fisr_grid": (list(self.fisr_grid)
                           if isinstance(self.fisr_grid, tuple)
                           else self.fisr_grid),
-            "device": getattr(jax.devices()[0], "device_kind",
-                              jax.devices()[0].platform),
+            "device": getattr(dev, "device_kind", dev.platform),
             "streams": len(self._streams),
             "stats": dict(self.stats),
         }
@@ -244,6 +268,69 @@ class FISRService:
         return "\n".join(lines) + "\n"
 
 
+class MultiChipService:
+    """One `FISRService` per local device, behind the same endpoint surface.
+
+    Routing: each stream id is pinned to a fixed chip (crc32(id) % n) so its
+    device-resident carry (last two frames + cached pair) never migrates;
+    isolated /v1/window requests round-robin. Each sub-service has its own
+    device lock, so requests for different chips run concurrently — the
+    in-process form of "one daemon per chip behind a load balancer"
+    (SERVING.md), with no balancer and one port. The reference's multi-GPU
+    story is training-only (FISR_tfoptflow/multi_gpus.py); it has no
+    multi-device serving at all.
+    """
+
+    def __init__(self, fisr_params, pwc_params, height: int, width: int,
+                 devices=None, **kw):
+        import jax
+
+        devices = list(devices) if devices is not None else jax.local_devices()
+        if not devices:
+            raise ValueError("no devices to serve on")
+        self.devices = devices
+        self.services = [FISRService(fisr_params, pwc_params, height, width,
+                                     device=d, **kw) for d in devices]
+        self._rr = itertools.count()    # itertools.count is GIL-atomic
+
+    def _for_stream(self, stream_id: str) -> FISRService:
+        return self.services[zlib.crc32(stream_id.encode()) %
+                             len(self.services)]
+
+    def window(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+        return self.services[next(self._rr) % len(self.services)].window(frames)
+
+    def stream_frame(self, stream_id: str, frame: np.ndarray
+                     ) -> Optional[List[np.ndarray]]:
+        return self._for_stream(stream_id).stream_frame(stream_id, frame)
+
+    def drop_stream(self, stream_id: str) -> bool:
+        return self._for_stream(stream_id).drop_stream(stream_id)
+
+    def info(self) -> dict:
+        base = self.services[0].info()
+        base["chips"] = len(self.services)
+        base["streams"] = sum(len(s._streams) for s in self.services)
+        base["stats"] = {k: sum(s.stats[k] for s in self.services)
+                         for k in self.services[0].stats}
+        return base
+
+    def metrics_text(self) -> str:
+        """Prometheus text: aggregate counters + per-chip labeled series."""
+        keys = sorted(self.services[0].stats)
+        lines = []
+        for k in keys:
+            name = f"fisr_{k}_total"
+            lines.append(f"# TYPE {name} counter")
+            for i, s in enumerate(self.services):
+                lines.append(f'{name}{{chip="{i}"}} {s.stats[k]}')
+        lines.append("# TYPE fisr_active_streams gauge")
+        for i, s in enumerate(self.services):
+            lines.append(f'fisr_active_streams{{chip="{i}"}} '
+                         f"{len(s._streams)}")
+        return "\n".join(lines) + "\n"
+
+
 # --------------------------------------------------------------------------
 # HTTP layer
 # --------------------------------------------------------------------------
@@ -267,15 +354,44 @@ def _yuv_to(frames: List[np.ndarray], colorspace: str) -> List[np.ndarray]:
     return [yuv2rgb_matlab_u8(f) for f in frames]
 
 
-def make_server(service: FISRService, host: str = "127.0.0.1",
-                port: int = 8417) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP server; call .serve_forever() to run."""
+def make_server(service, host: str = "127.0.0.1", port: int = 8417,
+                auth_token: Optional[str] = None,
+                max_request_bytes: int = 192 * 1024 * 1024
+                ) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() to run.
+
+    `service` is a `FISRService` or `MultiChipService` (same surface).
+    With `auth_token` set, every endpoint except /healthz requires
+    `Authorization: Bearer <token>` (constant-time compare); /healthz stays
+    open so load-balancer probes need no secret. `max_request_bytes` bounds
+    POST bodies — oversized requests get 413 before the body is read.
+    """
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
+
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            return (got.startswith("Bearer ")
+                    and hmac.compare_digest(got[7:], auth_token))
+
+        def _deny(self) -> bool:
+            """401 unless authorized; returns True when the request ends."""
+            if self._authorized():
+                return False
+            body = json.dumps({"error": "unauthorized"}).encode()
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", "Bearer")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return True
 
         def _json(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
@@ -306,6 +422,8 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
             path = self._route()
             if path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self._deny():
+                return
             elif path == "/v1/info":
                 self._json(200, service.info())
             elif path == "/metrics":
@@ -320,10 +438,18 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 self._json(404, {"error": f"unknown path {path}"})
 
         def do_POST(self):
+            if self._deny():
+                return
             path = self._route()
             cs = self._colorspace()
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_request_bytes:
+                    # refuse before reading the body off the socket
+                    self._json(413, {"error": f"request body {n} bytes "
+                                     f"exceeds limit {max_request_bytes}"})
+                    self.close_connection = True
+                    return
                 frames = _yuv_from(unpack_frames(self.rfile.read(n)), cs)
                 if path == "/v1/window":
                     self._frames(_yuv_to(service.window(frames), cs))
@@ -346,6 +472,8 @@ def make_server(service: FISRService, host: str = "127.0.0.1",
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_DELETE(self):
+            if self._deny():
+                return
             path = self._route()
             parts = path.split("/")
             if len(parts) == 4 and parts[1] == "v1" and parts[2] == "stream":

@@ -14,8 +14,8 @@ import jax
 import numpy as np
 import pytest
 
-from fisr_tpu.infer.daemon import (FISRService, make_server, pack_frames,
-                                   unpack_frames)
+from fisr_tpu.infer.daemon import (FISRService, MultiChipService, make_server,
+                                   pack_frames, unpack_frames)
 from fisr_tpu.models import fisrnet, pwcnet
 
 H = W = 64  # 32-multiple and PWC 64-multiple
@@ -33,10 +33,15 @@ def test_frame_protocol_roundtrip():
 
 
 @pytest.fixture(scope="module")
-def service():
+def params():
     fisr = fisrnet.init_params(jax.random.PRNGKey(0))
     pwc = pwcnet.init_params(jax.random.PRNGKey(1))
-    return FISRService(fisr, pwc, H, W, warmup=False)
+    return fisr, pwc
+
+
+@pytest.fixture(scope="module")
+def service(params):
+    return FISRService(*params, H, W, warmup=False)
 
 
 @pytest.fixture(scope="module")
@@ -180,3 +185,127 @@ def test_rgb_colorspace_roundtrip(url):
     assert code == 200
     out = unpack_frames(body)
     assert all(f.shape == (2 * H, 2 * W, 3) for f in out)
+
+
+# --------------------------------------------------------------------------
+# Hardening: bearer auth + request size limit
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def auth_url(service):
+    server = make_server(service, "127.0.0.1", 0, auth_token="sekrit",
+                         max_request_bytes=4096)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _get(url, token=None):
+    headers = {} if token is None else {"Authorization": f"Bearer {token}"}
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_auth_required(auth_url):
+    # /healthz stays open for load-balancer probes
+    code, body = _get(auth_url + "/healthz")
+    assert code == 200 and json.loads(body)["status"] == "ok"
+    # everything else: 401 without / with a wrong token, 200 with the right one
+    assert _get(auth_url + "/v1/info")[0] == 401
+    assert _get(auth_url + "/v1/info", token="wrong")[0] == 401
+    assert _get(auth_url + "/metrics")[0] == 401
+    code, body = _get(auth_url + "/v1/info", token="sekrit")
+    assert code == 200 and json.loads(body)["model"] == "FISRnet"
+    # POST without the token never reaches the model
+    code, _, body = _post(auth_url + "/v1/window", pack_frames(_frames(3)))
+    assert code == 401 and b"unauthorized" in body
+
+
+def test_oversized_request_is_413(auth_url):
+    payload = pack_frames(_frames(3))  # PNG of 64x64 noise ≫ 4096 bytes
+    assert len(payload) > 4096
+    req = urllib.request.Request(
+        auth_url + "/v1/window", data=payload,
+        headers={"Authorization": "Bearer sekrit"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            code, body = r.status, r.read()
+    except urllib.error.HTTPError as e:
+        code, body = e.code, e.read()
+    assert code == 413 and b"exceeds limit" in body
+
+
+# --------------------------------------------------------------------------
+# MultiChipService: per-device services in one process
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def multi(params):
+    return MultiChipService(*params, H, W, warmup=False,
+                            devices=jax.devices()[:2])
+
+
+def test_multichip_routing_and_carry(multi, service):
+    """Streams pin to one chip; output equals the single-chip service's."""
+    frames = _frames(3, seed=21)
+    svc = multi._for_stream("pinned")
+    assert svc is multi._for_stream("pinned")  # deterministic routing
+    out = None
+    for f in frames:
+        out = multi.stream_frame("pinned", f)
+    assert out is not None and len(out) == 3
+    # the carry (and its cached pair) lives only on the routed chip
+    assert "pinned" in svc._streams
+    assert all("pinned" not in s._streams
+               for s in multi.services if s is not svc)
+    ref = service.window(frames)
+    for a, b in zip(out, ref):
+        assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+    assert multi.drop_stream("pinned") is True
+
+
+def test_multichip_window_round_robin(multi):
+    frames = _frames(3, seed=22)
+    before = [s.stats["windows"] for s in multi.services]
+    for _ in range(2 * len(multi.services)):
+        out = multi.window(frames)
+        assert len(out) == 3
+    after = [s.stats["windows"] for s in multi.services]
+    assert all(b - a == 2 for a, b in zip(before, after))
+
+
+def test_multichip_info_and_metrics(multi):
+    info = multi.info()
+    assert info["chips"] == 2
+    assert info["stats"]["windows"] == sum(
+        s.stats["windows"] for s in multi.services)
+    text = multi.metrics_text()
+    assert '# TYPE fisr_windows_total counter' in text
+    for i in range(2):
+        assert f'fisr_windows_total{{chip="{i}"}}' in text
+        assert f'fisr_active_streams{{chip="{i}"}}' in text
+
+
+def test_multichip_behind_http(multi):
+    """The same HTTP layer serves a MultiChipService unchanged."""
+    server = make_server(multi, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(url + "/v1/info") as r:
+            info = json.loads(r.read())
+        assert info["chips"] == 2
+        code, _, body = _post(url + "/v1/window", pack_frames(_frames(3)))
+        assert code == 200 and len(unpack_frames(body)) == 3
+        with urllib.request.urlopen(url + "/metrics") as r:
+            assert 'chip="1"' in r.read().decode()
+    finally:
+        server.shutdown()
