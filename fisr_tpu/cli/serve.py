@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fisr_grid", default="auto",
                    help="'auto' (heuristic), 'tuned' (autotune cache), "
                         "'full' (no tiling), or 'GH,GW'")
+    p.add_argument("--flow_scale", type=int, default=2, choices=(1, 2),
+                   help="2 = reference-parity x2-upscaled flow; 1 = fast "
+                        "mode (~1.5x throughput, see PARITY.md; pair with a "
+                        "--flow_scale 1 joint-fine-tuned checkpoint)")
     p.add_argument("--multichip", action="store_true",
                    help="one service per local device in this process; "
                         "streams pin to a chip, windows round-robin")
@@ -75,7 +79,8 @@ def main(argv=None) -> None:
     print(f" [*] compiling for {args.height}x{args.width} "
           f"({args.dtype}, grid={args.fisr_grid}, {n} chip(s)) ...")
     service = cls(fisr_params, pwc_params, args.height, args.width,
-                  policy=policy, fisr_grid=_parse_grid(args.fisr_grid))
+                  policy=policy, fisr_grid=_parse_grid(args.fisr_grid),
+                  upscale=args.flow_scale)
     server = make_server(service, args.host, args.port,
                          auth_token=args.auth_token,
                          max_request_bytes=args.max_request_bytes)

@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--n_val", type=int, default=32)
     ap.add_argument("--fisr_lr", type=float, default=5e-5)
     ap.add_argument("--pwc_lr", type=float, default=1e-6)
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine-decay both lrs to 0 over --steps (use for "
+                         "longer multi-epoch schedules)")
+    ap.add_argument("--flow_scale", type=int, default=2, choices=(1, 2),
+                    help="2 = reference-parity x2-upscaled flow; 1 = the "
+                         "fast serving mode — fine-tuning WITH flow_scale 1 "
+                         "specializes the checkpoint to it")
     ap.add_argument("--freeze_pwc", action="store_true")
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--fisr_ckpt", default="checkpoint_dir/FISRnet_exp99")
@@ -69,7 +76,7 @@ def main():
     fr_va = jnp.asarray(fr_va)
     tg_va = jnp.asarray(tg_va)
 
-    fwd = make_fused_video_step(policy=policy)
+    fwd = make_fused_video_step(policy=policy, upscale=args.flow_scale)
 
     def val_psnr(fisr_params, pwc_params):
         vals = []
@@ -80,9 +87,15 @@ def main():
                                               tg_va[i : i + args.batch])))
         return float(np.mean(np.concatenate(vals)))
 
-    fisr_opt = optax.adam(args.fisr_lr)
-    pwc_opt = None if args.freeze_pwc else optax.adam(args.pwc_lr)
-    step = make_joint_train_step(fisr_opt, pwc_opt, policy=policy)
+    def sched(lr):
+        if not args.cosine:
+            return lr
+        return optax.cosine_decay_schedule(lr, args.steps)
+
+    fisr_opt = optax.adam(sched(args.fisr_lr))
+    pwc_opt = None if args.freeze_pwc else optax.adam(sched(args.pwc_lr))
+    step = make_joint_train_step(fisr_opt, pwc_opt, policy=policy,
+                                 upscale=args.flow_scale)
     state = create_joint_state(fisr0, pwc0, fisr_opt, pwc_opt)
 
     p0 = val_psnr(state.fisr_params, state.pwc_params)
@@ -105,9 +118,10 @@ def main():
     if args.save_dir:
         import os
 
+        sfx = "_fast" if args.flow_scale == 1 else ""
         for name, params, metric in (
-                ("FISRnet_joint", state.fisr_params, p),
-                ("pwcnet_joint", state.pwc_params, None)):
+                (f"FISRnet_joint{sfx}", state.fisr_params, p),
+                (f"pwcnet_joint{sfx}", state.pwc_params, None)):
             mgr = CheckpointManager(os.path.join(args.save_dir, name))
             mgr.save(args.steps, {"params": params}, metric=metric)
         print(f" [*] saved fine-tuned checkpoints under {args.save_dir}")

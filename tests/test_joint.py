@@ -56,6 +56,24 @@ def test_joint_step_updates_both_models_and_descends(params):
     assert np.isfinite(float(metrics["joint_PSNR"]))
 
 
+def test_joint_step_fast_mode_upscale1(params):
+    """upscale=1 (the fast serving mode) must train too: fine-tuning WITH
+    flow at native resolution specializes a checkpoint to --flow_scale 1
+    serving (scripts/finetune_joint_synth.py --flow_scale 1)."""
+    fisr0, pwc0 = params
+    step = make_joint_train_step(optax.adam(1e-4), optax.adam(1e-5),
+                                 upscale=1, donate=False)
+    state = create_joint_state(fisr0, pwc0, optax.adam(1e-4),
+                               optax.adam(1e-5))
+    batch = _batch(3)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["joint_loss"]))
+    assert _leaf_delta(state.pwc_params, pwc0) > 0
+    assert losses[-1] < losses[0] and np.isfinite(losses).all()
+
+
 def test_joint_step_data_parallel_matches_local(params):
     """DP over the virtual mesh: replicated params + batch sharded on
     'data' must produce the same update as the local step (GSPMD inserts
