@@ -37,6 +37,12 @@ def main():
                     help="FISRnet experiment checkpoint to restore (e.g. "
                          "99 for the synthetic-trained tree); default = "
                          "fresh init")
+    ap.add_argument("--fisr_ckpt", default=None,
+                    help="restore FISRnet from this checkpoint dir directly "
+                         "(e.g. checkpoint_dir/FISRnet_joint — the CLI only "
+                         "knows FISRnet_exp{N} names, so this is symlinked "
+                         "into a scratch experiment dir); overrides "
+                         "--exp_num")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scene1_")
@@ -47,7 +53,12 @@ def main():
     ]
     if args.pwc_ckpt:
         cli_args += ["--pwc_ckpt", args.pwc_ckpt]
-    if args.exp_num is not None:
+    if args.fisr_ckpt:
+        ck = tempfile.mkdtemp(prefix="scene1_ckpt_")
+        os.symlink(os.path.abspath(args.fisr_ckpt),
+                   os.path.join(ck, "FISRnet_exp1"))
+        cli_args += ["--checkpoint_dir", ck, "--exp_num", "1"]
+    elif args.exp_num is not None:
         cli_args += ["--exp_num", str(args.exp_num)]
     cli.main(cli_args)
 
@@ -55,10 +66,14 @@ def main():
     pwc_desc = (f"PWC-Net restored from {args.pwc_ckpt} (synthetic-corpus "
                 "trained, see PERF.md)" if args.pwc_ckpt else
                 "PRNGKey(1) fresh init (RANDOM flow)")
-    fisr_desc = (f"restored from checkpoint_dir/FISRnet_exp{args.exp_num} "
-                 "(synthetic-corpus trained, see PERF.md)"
-                 if args.exp_num is not None else
-                 "seeded fresh init PRNGKey(0)")
+    if args.fisr_ckpt:
+        fisr_desc = (f"restored from {args.fisr_ckpt} (jointly fine-tuned "
+                     "end-to-end, see PERF.md)")
+    elif args.exp_num is not None:
+        fisr_desc = (f"restored from checkpoint_dir/FISRnet_exp{args.exp_num}"
+                     " (synthetic-corpus trained, see PERF.md)")
+    else:
+        fisr_desc = "seeded fresh init PRNGKey(0)"
     rec = {
         "inputs": "reference FISR_test_folder/scene1 (5 real 1080x1920 YUV PNGs)",
         "pipeline": "FISR_for_video --fused (PWC flow + warp + FISRnet, one XLA program/window)",
