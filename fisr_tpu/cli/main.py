@@ -125,7 +125,12 @@ def parse_args(argv=None):
                         "2K; quality trade quantified in PARITY.md)")
     p.add_argument("--fused", action="store_true",
                    help="run the video phase as one fused on-device program "
-                        "per window (no .flo/.mat round-trip, no tiling)")
+                        "per window (no .flo/.mat round-trip)")
+    p.add_argument("--fisr_grid", type=str, default="auto",
+                   help="fused window stage FISRnet tiling: 'auto' "
+                        "(measured heuristic incl. edge-padded grids), "
+                        "'tuned' (autotune cache, cli.tune), 'full' "
+                        "(no tiling), or 'GH,GW'")
 
     args = p.parse_args(argv)
     for d in (args.checkpoint_dir, args.text_dir, args.log_dir, args.test_img_dir):
@@ -261,6 +266,17 @@ def run_test(args):
     )
 
 
+def _parse_fisr_grid(s: str):
+    """'full' -> None (untiled), 'auto'/'tuned' pass through, else 'GH,GW'
+    (same grammar as cli/serve.py)."""
+    if s == "full":
+        return None
+    if s in ("auto", "tuned"):
+        return s
+    gh, gw = (int(v) for v in s.split(","))
+    return (gh, gw)
+
+
 def run_video(args):
     from fisr_tpu.infer.video import run_video_pipeline
 
@@ -272,6 +288,7 @@ def run_video(args):
         grid=tuple(args.FISR_test_patch), policy=_policy(args),
         write_artifacts=not args.fused, frame_num=args.frame_num,
         fused=args.fused, flow_upscale=args.flow_scale,
+        fisr_grid=_parse_fisr_grid(args.fisr_grid),
     )
 
 

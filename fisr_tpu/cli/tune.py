@@ -58,8 +58,14 @@ def main(argv=None) -> None:
     cache = TuneCache(args.cache or DEFAULT_CACHE_PATH)
     grid = cache.tune(params, args.height, args.width, policy=policy,
                       boundary=args.boundary, reps=args.reps, verbose=True)
+    plan = cache.best_plan(args.height, args.width, args.dtype,
+                           args.boundary)
     print(json.dumps({
         "best_grid": list(grid),
+        # overall winner incl. edge-padded variants (what fisr_grid='tuned'
+        # serves via video.resolve_fisr_plan); equals best_grid + pad 0
+        # when no padded candidate won
+        "best_plan": {"grid": list(plan[0]), "pad": list(plan[1])},
         "frame": [args.height, args.width],
         "dtype": args.dtype,
         "device_kind": TuneCache._device_kind(),

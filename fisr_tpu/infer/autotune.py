@@ -26,7 +26,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["candidate_grids", "sweep", "TuneCache", "DEFAULT_CACHE_PATH"]
+__all__ = ["candidate_grids", "padded_candidates", "sweep", "TuneCache",
+           "DEFAULT_CACHE_PATH"]
 
 DEFAULT_CACHE_PATH = os.path.join(
     os.path.expanduser("~"), ".cache", "fisr_tpu", "autotune.json")
@@ -41,6 +42,32 @@ def candidate_grids(h: int, w: int, max_gh: int = 6, max_gw: int = 8
     ghs = [g for g in range(1, max_gh + 1) if h % (32 * g) == 0]
     gws = [g for g in range(1, max_gw + 1) if w % (32 * g) == 0]
     return [(gh, gw) for gh in ghs for gw in gws]
+
+
+def padded_candidates(h: int, w: int, max_gh: int = 6, max_gw: int = 8,
+                      max_pad_frac: float = 0.125
+                      ) -> List[Tuple[Tuple[int, int], Tuple[int, int]]]:
+    """[(grid, (pad_h, pad_w)), ...] for grids only reachable by padding.
+
+    Complements `candidate_grids` with edge-padded variants
+    (device.tiled_apply_padded): grids whose 32-multiple patch contract the
+    raw extent misses but a <= max_pad_frac bottom/right pad unlocks — the
+    class that won at 1056x1920 ((4,6)+96-row pad beat the unpadded (3,6)
+    by 9.2%, PERF.md round 3). Pad-free grids are excluded (already swept).
+    """
+    if h % 32 or w % 32:
+        raise ValueError(f"frame {h}x{w} must be 32-multiples")
+    out = []
+    for gh in range(1, max_gh + 1):
+        ph = (-h) % (32 * gh)
+        if ph > max_pad_frac * h:
+            continue
+        for gw in range(1, max_gw + 1):
+            pw = (-w) % (32 * gw)
+            if pw > max_pad_frac * w or not (ph or pw):
+                continue
+            out.append(((gh, gw), (ph, pw)))
+    return out
 
 
 def _time_runner(fn, params, x, reps: int) -> float:
@@ -74,25 +101,35 @@ def sweep(params, h: int, w: int, *, policy=None, boundary: int = 32,
     from fisr_tpu.infer.device import make_device_runner
     from fisr_tpu.ops.conv import F32
 
+    from fisr_tpu.infer.device import tiled_apply_padded
+
     policy = policy or F32
-    grids = grids or candidate_grids(h, w)
+    plans = ([(g, (0, 0)) for g in grids] if grids is not None
+             else [(g, (0, 0)) for g in candidate_grids(h, w)]
+             + padded_candidates(h, w))
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, h, w, 29),
                            policy.compute_dtype)
 
     results = []
-    for grid in grids:
-        mode = "full" if grid == (1, 1) else "tiled"
-        fn = make_device_runner(mode, grid=grid, boundary=boundary, sf=sf,
-                                policy=policy)
+    for grid, pads in plans:
+        if pads != (0, 0):
+            mode = "padded"
+            fn = jax.jit(lambda p, v, g=grid, pd=pads: tiled_apply_padded(
+                p, v, g, pd, boundary, sf, policy))
+        else:
+            mode = "full" if grid == (1, 1) else "tiled"
+            fn = make_device_runner(mode, grid=grid, boundary=boundary, sf=sf,
+                                    policy=policy)
         try:
             sec = _time_runner(fn, params, x, reps)
         except Exception as e:  # OOM on big frames at (1,1), etc.
             if verbose:
-                print(f"# grid {grid}: failed ({type(e).__name__})")
+                print(f"# grid {grid} pad {pads}: failed ({type(e).__name__})")
             continue
-        results.append({"grid": list(grid), "sec": round(sec, 5), "mode": mode})
+        results.append({"grid": list(grid), "pad": list(pads),
+                        "sec": round(sec, 5), "mode": mode})
         if verbose:
-            print(f"# grid {grid}: {sec * 1e3:8.2f} ms ({mode})")
+            print(f"# grid {grid} pad {pads}: {sec * 1e3:8.2f} ms ({mode})")
     results.sort(key=lambda r: r["sec"])
     if not results:
         raise RuntimeError("autotune sweep: every candidate grid failed")
@@ -127,14 +164,32 @@ class TuneCache:
 
     def best(self, h: int, w: int, dtype: str = "bfloat16",
              boundary: int = 32) -> Optional[Tuple[int, int]]:
+        """Fastest PAD-FREE grid (always divides h, w; plain tiled_apply)."""
         entry = self._data.get(self._key(h, w, dtype, boundary))
         if not entry:
             return None
-        return tuple(entry["results"][0]["grid"])
+        for r in entry["results"]:  # sorted fastest-first by sweep()
+            if tuple(r.get("pad", (0, 0))) == (0, 0):
+                return tuple(r["grid"])
+        return None
+
+    def best_plan(self, h: int, w: int, dtype: str = "bfloat16",
+                  boundary: int = 32
+                  ) -> Optional[Tuple[Tuple[int, int], Tuple[int, int]]]:
+        """Fastest (grid, (pad_h, pad_w)) overall — padded entries included
+        (consumed by video.resolve_fisr_plan / device.tiled_apply_padded)."""
+        entry = self._data.get(self._key(h, w, dtype, boundary))
+        if not entry:
+            return None
+        r = entry["results"][0]
+        return tuple(r["grid"]), tuple(r.get("pad", (0, 0)))
 
     def tune(self, params, h: int, w: int, *, policy=None, boundary: int = 32,
              reps: int = 3, verbose: bool = False) -> Tuple[int, int]:
-        """Sweep, persist, and return the winning grid."""
+        """Sweep (pad-free + padded candidates), persist, and return the
+        winning PAD-FREE grid (tune()'s stable contract: a grid that
+        divides h, w). The overall winner — possibly padded — is what
+        `best_plan` serves to resolve_fisr_plan."""
         from fisr_tpu.ops.conv import F32
 
         policy = policy or F32
@@ -150,4 +205,5 @@ class TuneCache:
         with open(tmp, "w") as f:
             json.dump(self._data, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)
-        return tuple(results[0]["grid"])
+        padfree = [r for r in results if tuple(r.get("pad", (0, 0))) == (0, 0)]
+        return tuple((padfree or results)[0]["grid"])

@@ -27,7 +27,8 @@ from fisr_tpu.ops.conv import F32, Policy
 from fisr_tpu.ops.resize import downsample_int
 
 __all__ = ["make_device_runner", "staged_apply", "run_level_tiled",
-           "tiled_apply", "FastTiledRunner"]
+           "tiled_apply", "tiled_apply_padded", "padded_grid",
+           "FastTiledRunner"]
 
 
 def _split(x: jnp.ndarray, grid, halo_h: int, halo_w: int) -> jnp.ndarray:
@@ -150,6 +151,59 @@ def tiled_apply(params, x: jnp.ndarray, grid: Tuple[int, int],
     tw = (rem if stale else bw) * sf
     core = pred[:, th : th + s_h * sf, tw : tw + s_w * sf, :]
     return unpatchify(core, grid, b)
+
+
+def tiled_apply_padded(params, x: jnp.ndarray, grid: Tuple[int, int],
+                       pads: Tuple[int, int] = (0, 0), boundary: int = 32,
+                       sf: int = 2, policy: Policy = F32) -> jnp.ndarray:
+    """`tiled_apply` behind an edge-replicated pad that unlocks `grid`.
+
+    Pads rows/cols at the bottom/right (edge mode — replicated context is
+    closer to frame-interior statistics than a zero ring), tiles at `grid`,
+    crops the sf-scaled output back. Lets extents that don't divide into
+    the measured patch sweet spot reach it anyway: at the video pipeline's
+    1056-row frames (1056/32 = 33 admits only gh in {1,3}), padding 96 rows
+    to 1152 and tiling (4,6) measured 212.5 ms vs (3,6)'s 234.0 on v5e —
+    -9.2% despite +9.1% rows, because (3,6)'s 416-row haloed patches sit
+    past the 320-row XLA sweet spot (scripts/probe_pad46.py, 5-rep medians,
+    one process). Deviation class: identical to `tiled_apply` everywhere
+    except the bottom/right `boundary`-px band of the real frame, whose
+    halo reads replicated rows instead of the zero ring.
+    """
+    ph, pw = pads
+    if not (ph or pw):
+        return tiled_apply(params, x, grid, boundary, sf, policy)
+    _b, h, w, _c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    y = tiled_apply(params, xp, grid, boundary, sf, policy)
+    return y[:, : h * sf, : w * sf, :]
+
+
+def padded_grid(h: int, w: int, target: Tuple[int, int] = (4, 6),
+                max_pad_frac: float = 0.10):
+    """((gh, gw), (pad_h, pad_w)): largest grid <= target reachable by
+    padding each axis at most `max_pad_frac`, preferring less padding at
+    equal grid. Falls back to `best_grid` (pad 0) when no pad within the
+    bound unlocks a larger grid.
+
+    Encoded crossover (v5e, 2026-08-18, scripts/probe_pad46.py): at
+    1056x1920, pad 96 rows (9.1%) -> (4,6) wins -21.5 ms over the
+    unpadded (3,6); (6,6) at the same padded extent loses (236.6 ms) —
+    so the target stays (4,6) and the pad budget stays ~10%. At bench's
+    1024x1920 the rule degenerates to pad 0 / (4,6) (unchanged numerics).
+    """
+    if h % 32 or w % 32:
+        raise ValueError(f"padded_grid: frame {h}x{w} must be 32-multiples")
+
+    def axis(extent: int, tgt: int):
+        for g in range(tgt, 0, -1):
+            pad = (-extent) % (32 * g)
+            if pad <= max_pad_frac * extent:
+                return g, pad
+        return 1, 0
+
+    (gh, ph), (gw, pw) = axis(h, target[0]), axis(w, target[1])
+    return (gh, gw), (ph, pw)
 
 
 class FastTiledRunner:

@@ -50,7 +50,7 @@ from fisr_tpu.ops.warp import dense_image_warp
 
 __all__ = ["make_flow_fn", "make_warp_fn", "make_pair_fn",
            "make_fisr_window_fn", "make_fused_video_step",
-           "resolve_fisr_grid", "run_video_pipeline"]
+           "resolve_fisr_grid", "resolve_fisr_plan", "run_video_pipeline"]
 
 
 def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -147,15 +147,34 @@ def make_pair_fn(cfg: pwcnet.PWCNetConfig = pwcnet.PWCNetConfig(),
     return jax.jit(fn)
 
 
-def resolve_fisr_grid(fisr_grid, h: int, w: int, policy: Policy):
-    """Resolve a fisr_grid spec to a concrete (gh, gw).
+def resolve_fisr_plan(fisr_grid, h: int, w: int, policy: Policy):
+    """Resolve a fisr_grid spec to a concrete ((gh, gw), (pad_h, pad_w)).
 
-    'auto'  -> best_grid heuristic (v5e-measured (4,6) target);
+    'auto'  -> padded_grid heuristic (v5e-measured (4,6) target; pads up
+               to 10% of an axis when that unlocks the target grid —
+               e.g. 1056 rows -> (4,6) with 96 pad rows, measured -9.2%
+               vs the unpadded (3,6), see device.tiled_apply_padded);
     'tuned' -> this device's measured winner from the autotune cache
                (cli/tune.py), falling back to the heuristic if this frame
                size was never tuned here;
-    tuple   -> passed through. Resolution happens at trace time (host).
+    tuple   -> passed through, pad 0. Resolution happens at trace time.
     """
+    from fisr_tpu.infer.device import padded_grid
+
+    if fisr_grid == "auto":
+        return padded_grid(h, w)
+    if fisr_grid == "tuned":
+        from fisr_tpu.infer.autotune import TuneCache
+
+        plan = TuneCache().best_plan(h, w, np.dtype(policy.compute_dtype).name)
+        return plan or padded_grid(h, w)
+    return tuple(fisr_grid), (0, 0)
+
+
+def resolve_fisr_grid(fisr_grid, h: int, w: int, policy: Policy):
+    """Back-compat: like `resolve_fisr_plan` but restricted to PAD-FREE
+    plans — 'auto' maps to the best_grid heuristic, 'tuned' to the cache's
+    best pad-free entry. The returned grid always divides (h, w)."""
     from fisr_tpu.infer.device import best_grid
 
     if fisr_grid == "auto":
@@ -193,10 +212,10 @@ def _fisr_window_core(fisr_params, f0, f1, f2, flows01, warps01, flows12,
     wp = jnp.clip(wp, 0.0, 1.0)
     inp = jnp.concatenate([img, fl, wp], axis=-1)  # [B, h, w, 29]
     if fisr_grid is not None:
-        from fisr_tpu.infer.device import tiled_apply
+        from fisr_tpu.infer.device import tiled_apply_padded
 
-        grid = resolve_fisr_grid(fisr_grid, h, w, policy)
-        pred = tiled_apply(fisr_params, inp, grid, 32, sf, policy)
+        grid, pads = resolve_fisr_plan(fisr_grid, h, w, policy)
+        pred = tiled_apply_padded(fisr_params, inp, grid, pads, 32, sf, policy)
     else:
         pred = fisrnet.apply(fisr_params, inp, sf, policy)[2]
     pred = pred.astype(jnp.float32)
@@ -277,6 +296,7 @@ def run_video_pipeline(
     verbose: bool = True,
     fused: bool = False,
     flow_upscale: int = 2,
+    fisr_grid="auto",
 ):
     """Full FISR_for_video over a folder of YUV PNGs.
 
@@ -285,6 +305,11 @@ def run_video_pipeline(
     fused=True runs each window through the single-program
     flow->warp->FISRnet step (full-frame, no tiling) instead of the staged
     path — the production device-resident mode.
+
+    fisr_grid picks the fused window stage's FISRnet tiling plan ('auto' =
+    measured heuristic incl. edge-padded grids, 'tuned' = autotune cache,
+    tuple = explicit, None = full-frame); the staged path keeps `grid`
+    (the reference's --test_patch semantics).
 
     flow_upscale=2 is reference parity — the flow stage upscales each frame
     pair x2 before PWC-Net and scales the flow back down (the reference's
@@ -316,7 +341,10 @@ def run_video_pipeline(
         # recomputes it (one extra full PWC pass per window, the pipeline's
         # most expensive stage). Frames also upload once each, not 3x.
         pair_fn = make_pair_fn(policy=policy, upscale=flow_upscale)
-        window_fn = make_fisr_window_fn(policy=policy)
+        # fisr_grid routes the window's FISRnet stage through in-jit tiling
+        # (resolve_fisr_plan: 'auto'/'tuned'/explicit; None = full-frame) —
+        # at 2K the (4,6)-target plan beats full-frame on v5e (PERF.md)
+        window_fn = make_fisr_window_fn(policy=policy, fisr_grid=fisr_grid)
         digits = math.ceil(math.log10(2 * (n - 1)))
         out_paths = []
 

@@ -109,3 +109,48 @@ def test_best_grid_rules():
     assert best_grid(32, 32) == (1, 1)
     with pytest.raises(ValueError, match="32-multiples"):
         best_grid(1080, 1920)
+
+
+def test_tiled_apply_padded_equals_manual_pad(params):
+    """tiled_apply_padded == edge-pad -> tiled_apply -> crop (construction
+    equality pins the wiring the video window stage rides through
+    resolve_fisr_plan), and pads (0,0) short-circuits to tiled_apply."""
+    from fisr_tpu.infer.device import tiled_apply, tiled_apply_padded
+    from fisr_tpu.ops.conv import F32
+
+    rng = np.random.default_rng(7)
+    # 96 rows admit only gh in {1,3}; a 32-row pad unlocks (2, 3)
+    inp = jnp.asarray(rng.uniform(size=(1, 96, 96, 29)).astype(np.float32))
+    got = np.asarray(tiled_apply_padded(params, inp, (2, 3), (32, 0),
+                                        32, 2, F32))
+    xp = jnp.pad(inp, ((0, 0), (0, 32), (0, 0), (0, 0)), mode="edge")
+    want = np.asarray(tiled_apply(params, xp, (2, 3), 32, 2, F32))[:, :192]
+    assert got.shape == (1, 192, 192, 9)
+    np.testing.assert_array_equal(got, want)
+
+    same = np.asarray(tiled_apply_padded(params, inp, (3, 3), (0, 0),
+                                         32, 2, F32))
+    ref = np.asarray(tiled_apply(params, inp, (3, 3), 32, 2, F32))
+    np.testing.assert_array_equal(same, ref)
+
+
+def test_tiled_apply_padded_deviation_vs_unpadded(params):
+    """The padded plan's deviation class: identical to the unpadded tiling
+    everywhere except the bottom/right boundary band of the real frame
+    (whose halo reads replicated rows instead of the zero ring). Pinned on
+    a grid pair that shares row seams: (1,3) unpadded vs (2,3)+32-row pad
+    differ, but the top half (whose patches see identical content through
+    their halos in both plans) must stay within conv reduction-order noise.
+    """
+    from fisr_tpu.infer.device import tiled_apply, tiled_apply_padded
+    from fisr_tpu.ops.conv import F32
+
+    rng = np.random.default_rng(8)
+    inp = jnp.asarray(rng.uniform(size=(1, 96, 96, 29)).astype(np.float32))
+    padded = np.asarray(tiled_apply_padded(params, inp, (2, 3), (32, 0),
+                                           32, 2, F32))
+    unpadded = np.asarray(tiled_apply(params, inp, (1, 3), 32, 2, F32))
+    assert padded.shape == unpadded.shape == (1, 192, 192, 9)
+    # padded-class quality: small global deviation, not bit equality
+    diff = np.abs(padded - unpadded)
+    assert diff.mean() < 2e-3 and diff.max() < 0.3
