@@ -107,14 +107,22 @@ def _init_level(rng, in_ch: int, ch: int = BASE_CH, sf: int = 2) -> Params:
     }
 
 
-def init_params(rng, in_ch: int = IN_CH, sf: int = 2) -> Params:
+def init_params(rng, in_ch: int = IN_CH, sf: int = 2, ch: int = BASE_CH) -> Params:
     """3 separately-weighted levels; level 2/3 additionally see the previous
-    level's 9ch prediction (FISRnet.py:116,147)."""
+    level's 9ch prediction (FISRnet.py:116,147).
+
+    ch: encoder base width. The reference model is ch=64 (the default and the
+    only width with checkpoint parity); every apply path reads widths from the
+    param shapes, so narrow models (e.g. ch=8) run the identical program
+    structure — used by the multi-chip dryrun and sharding tests to keep
+    XLA-CPU runtimes in the milliseconds while exercising the same
+    collectives/partitioning as the full model.
+    """
     k1, k2, k3 = jax.random.split(rng, 3)
     return {
-        "level_1": _init_level(k1, in_ch, sf=sf),
-        "level_2": _init_level(k2, in_ch + PRED_CH, sf=sf),
-        "level_3": _init_level(k3, in_ch + PRED_CH, sf=sf),
+        "level_1": _init_level(k1, in_ch, ch=ch, sf=sf),
+        "level_2": _init_level(k2, in_ch + PRED_CH, ch=ch, sf=sf),
+        "level_3": _init_level(k3, in_ch + PRED_CH, ch=ch, sf=sf),
     }
 
 

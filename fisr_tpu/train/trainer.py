@@ -52,8 +52,11 @@ jax.tree_util.register_pytree_node(
 
 
 def create_state(rng, optimizer: optax.GradientTransformation,
-                 in_ch: int = fisrnet.IN_CH) -> TrainState:
-    params = fisrnet.init_params(rng, in_ch)
+                 in_ch: int = fisrnet.IN_CH,
+                 ch: int = fisrnet.BASE_CH) -> TrainState:
+    """ch: model width (see fisrnet.init_params) — 64 is the reference model;
+    narrow widths serve CPU-mesh sharding checks."""
+    params = fisrnet.init_params(rng, in_ch, ch=ch)
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
