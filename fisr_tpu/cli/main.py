@@ -107,6 +107,17 @@ def parse_args(argv=None):
     p.add_argument("--FISR_input_size", type=int, nargs=2, default=[1080, 1920])
     p.add_argument("--frame_num", type=int, default=5)
     p.add_argument("--FISR_test_patch", type=int, nargs=2, default=[2, 2])
+    p.add_argument("--fisr_tf_ckpt", type=str, default=None,
+                   help="TF1 TensorBundle checkpoint PREFIX for FISRnet "
+                        "(e.g. .../FISRnet-122000): ONE-COMMAND parity path "
+                        "— read + convert + run, no separate convert step. "
+                        "Takes precedence over the experiment checkpoint "
+                        "dir. See PARITY.md 'Real-weight parity runbook'.")
+    p.add_argument("--pwc_tf_ckpt", type=str, default=None,
+                   help="TF1 TensorBundle checkpoint PREFIX for PWC-Net "
+                        "(e.g. .../pwcnet.ckpt-595000): read + convert + "
+                        "run for the video phase's flow stage. Takes "
+                        "precedence over --pwc_ckpt.")
     p.add_argument("--pwc_ckpt", type=str, default=None,
                    help="PWC-Net checkpoint directory for the video phase's "
                         "flow stage (a CheckpointManager dir — what "
@@ -156,12 +167,19 @@ def _model_dir(args) -> str:
 
 
 def _load_params(args):
-    """Restore FISRnet params from the experiment checkpoint, or fresh init."""
+    """Restore FISRnet params: --fisr_tf_ckpt (direct TF1-bundle import),
+    else the experiment checkpoint, else fresh init."""
     import jax
 
     from fisr_tpu.models import fisrnet
     from fisr_tpu.train.checkpoint import CheckpointManager
 
+    if getattr(args, "fisr_tf_ckpt", None):
+        from fisr_tpu.convert.tf_import import load_tf_checkpoint
+
+        params = load_tf_checkpoint(args.fisr_tf_ckpt, "fisrnet")
+        print(f" [*] imported TF1 FISRnet checkpoint {args.fisr_tf_ckpt}")
+        return params
     ckpt = os.path.join(args.checkpoint_dir, _model_dir(args))
     mgr = CheckpointManager(ckpt)
     if mgr.latest_step() is not None:
@@ -186,6 +204,12 @@ def _load_pwc_params(args):
     from fisr_tpu.models import pwcnet
     from fisr_tpu.train.checkpoint import CheckpointManager
 
+    if getattr(args, "pwc_tf_ckpt", None):
+        from fisr_tpu.convert.tf_import import load_tf_checkpoint
+
+        params = load_tf_checkpoint(args.pwc_tf_ckpt, "pwcnet")
+        print(f" [*] imported TF1 PWC-Net checkpoint {args.pwc_tf_ckpt}")
+        return params
     path = args.pwc_ckpt or os.path.join(args.checkpoint_dir, "pwcnet")
     if os.path.isdir(path):
         mgr = CheckpointManager(path, best_mode="min")
@@ -268,13 +292,10 @@ def run_test(args):
 
 def _parse_fisr_grid(s: str):
     """'full' -> None (untiled), 'auto'/'tuned' pass through, else 'GH,GW'
-    (same grammar as cli/serve.py)."""
-    if s == "full":
-        return None
-    if s in ("auto", "tuned"):
-        return s
-    gh, gw = (int(v) for v in s.split(","))
-    return (gh, gw)
+    (one grammar shared with cli/serve.py via cli/_common.py)."""
+    from fisr_tpu.cli._common import parse_grid
+
+    return parse_grid(s)
 
 
 def run_video(args):

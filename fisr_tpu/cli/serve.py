@@ -47,13 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parse_grid(s: str):
-    if s == "full":
-        return None
-    if s in ("auto", "tuned"):
-        return s
-    gh, gw = (int(v) for v in s.split(","))
-    return (gh, gw)
+from fisr_tpu.cli._common import parse_grid as _parse_grid  # shared grammar
 
 
 def main(argv=None) -> None:

@@ -61,7 +61,9 @@ def main(argv=None) -> None:
     plan = cache.best_plan(args.height, args.width, args.dtype,
                            args.boundary)
     print(json.dumps({
-        "best_grid": list(grid),
+        # None when every pad-free candidate failed (OOM at large frames):
+        # the frame is only servable via best_plan's padded winner then
+        "best_grid": list(grid) if grid is not None else None,
         # overall winner incl. edge-padded variants (what fisr_grid='tuned'
         # serves via video.resolve_fisr_plan); equals best_grid + pad 0
         # when no padded candidate won

@@ -46,33 +46,24 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.ckpt:
-        from fisr_tpu.convert.tensor_bundle import read_bundle
-
-        tf_vars = read_bundle(args.ckpt, verify=args.verify_crc)
+        params = tf_import.load_tf_checkpoint(args.ckpt, args.model,
+                                              verify_crc=args.verify_crc)
     else:
-        tf_vars = dict(np.load(args.npz))
-    # TF exports may suffix ':0' or prefix nothing; normalize common forms
-    tf_vars = {k.split(":")[0]: v for k, v in tf_vars.items()}
-    # drop optimizer slots / bookkeeping that ride along in train checkpoints
-    tf_vars = {k: v for k, v in tf_vars.items()
-               if not (k.endswith(("/Adam", "/Adam_1"))
-                       or k.split("/")[-1] in ("beta1_power", "beta2_power",
-                                               "global_step"))}
+        tf_vars = tf_import.normalize_tf_vars(dict(np.load(args.npz)))
+        if args.model == "fisrnet":
+            params = tf_import.convert_fisrnet(tf_vars)
+            ref = fisrnet.init_params(jax.random.PRNGKey(0))
+        else:
+            params = tf_import.convert_pwcnet(tf_vars)
+            ref = pwcnet.init_params(jax.random.PRNGKey(0))
+        # structural validation: same treedef, same shapes as a fresh init
+        ref_flat, ref_def = jax.tree_util.tree_flatten(ref)
+        got_flat, got_def = jax.tree_util.tree_flatten(params)
+        assert ref_def == got_def, "converted tree structure mismatch"
+        for r, g in zip(ref_flat, got_flat):
+            assert r.shape == tuple(g.shape), (r.shape, g.shape)
 
-    if args.model == "fisrnet":
-        params = tf_import.convert_fisrnet(tf_vars)
-        ref = fisrnet.init_params(jax.random.PRNGKey(0))
-    else:
-        params = tf_import.convert_pwcnet(tf_vars)
-        ref = pwcnet.init_params(jax.random.PRNGKey(0))
-
-    # structural validation: same treedef, same shapes as a fresh init
-    ref_flat, ref_def = jax.tree_util.tree_flatten(ref)
-    got_flat, got_def = jax.tree_util.tree_flatten(params)
-    assert ref_def == got_def, "converted tree structure mismatch"
-    for r, g in zip(ref_flat, got_flat):
-        assert r.shape == tuple(g.shape), (r.shape, g.shape)
-
+    got_flat = jax.tree_util.tree_leaves(params)
     CheckpointManager(args.out).save(args.step, {"params": params})
     n = sum(int(np.prod(v.shape)) for v in got_flat)
     print(f"[*] wrote step {args.step} ({n:,} params) to {args.out}")

@@ -136,6 +136,55 @@ def convert_fisrnet(tf_vars: Dict[str, np.ndarray]) -> dict:
     return _convert(tf_vars, fisrnet_name_map())
 
 
+def normalize_tf_vars(tf_vars: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip ':0' suffixes and drop optimizer slots / bookkeeping variables
+    that ride along in TF1 train checkpoints (Adam moments, beta powers,
+    global_step) — everything the name maps don't cover."""
+    tf_vars = {k.split(":")[0]: v for k, v in tf_vars.items()}
+    return {k: v for k, v in tf_vars.items()
+            if not (k.endswith(("/Adam", "/Adam_1"))
+                    or k.split("/")[-1] in ("beta1_power", "beta2_power",
+                                            "global_step"))}
+
+
+def load_tf_checkpoint(prefix: str, model: str, verify_crc: bool = False,
+                       **convert_kw) -> dict:
+    """ONE-CALL path from a TF1 TensorBundle checkpoint prefix (the format of
+    the released FISRnet-122000 / pwcnet.ckpt-595000 weights,
+    /root/reference/FISRnet.py:1101-1115, README.md:62-64) to a ready param
+    pytree: read bundle -> normalize/drop slots -> scope-name convert ->
+    structural validation against a fresh init. No TF required anywhere
+    (convert/tensor_bundle.py is a pure-Python bundle reader).
+
+    `model` is 'fisrnet' or 'pwcnet'. Raises KeyError listing missing
+    variables if the checkpoint does not cover the param tree.
+    """
+    import jax
+
+    from fisr_tpu.convert.tensor_bundle import read_bundle
+    from fisr_tpu.models import fisrnet as fisrnet_mod
+    from fisr_tpu.models import pwcnet as pwcnet_mod
+
+    tf_vars = normalize_tf_vars(read_bundle(prefix, verify=verify_crc))
+    if model == "fisrnet":
+        params = convert_fisrnet(tf_vars)
+        ref = fisrnet_mod.init_params(jax.random.PRNGKey(0))
+    elif model == "pwcnet":
+        params = convert_pwcnet(tf_vars, **convert_kw)
+        ref = pwcnet_mod.init_params(jax.random.PRNGKey(0))
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    ref_flat, ref_def = jax.tree_util.tree_flatten(ref)
+    got_flat, got_def = jax.tree_util.tree_flatten(params)
+    if ref_def != got_def:
+        raise ValueError(f"converted {model} tree structure mismatch")
+    for r, g in zip(ref_flat, got_flat):
+        if tuple(r.shape) != tuple(g.shape):
+            raise ValueError(
+                f"converted {model} shape mismatch: {r.shape} vs {g.shape}")
+    return params
+
+
 def convert_pwcnet(tf_vars: Dict[str, np.ndarray], pyr_lvls: int = 6,
                    flow_pred_lvl: int = 2, use_res_cx: bool = True) -> dict:
     return _convert(tf_vars, pwcnet_name_map(pyr_lvls, flow_pred_lvl, use_res_cx),

@@ -185,11 +185,14 @@ class TuneCache:
         return tuple(r["grid"]), tuple(r.get("pad", (0, 0)))
 
     def tune(self, params, h: int, w: int, *, policy=None, boundary: int = 32,
-             reps: int = 3, verbose: bool = False) -> Tuple[int, int]:
+             reps: int = 3, verbose: bool = False
+             ) -> Optional[Tuple[int, int]]:
         """Sweep (pad-free + padded candidates), persist, and return the
         winning PAD-FREE grid (tune()'s stable contract: a grid that
-        divides h, w). The overall winner — possibly padded — is what
-        `best_plan` serves to resolve_fisr_plan."""
+        divides h, w), or None when every pad-free candidate failed to run
+        (e.g. OOM at large frames) — mirroring `best`, which would also
+        return None for this entry. The overall winner — possibly padded —
+        is what `best_plan` serves to resolve_fisr_plan either way."""
         from fisr_tpu.ops.conv import F32
 
         policy = policy or F32
@@ -206,4 +209,4 @@ class TuneCache:
             json.dump(self._data, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)
         padfree = [r for r in results if tuple(r.get("pad", (0, 0))) == (0, 0)]
-        return tuple((padfree or results)[0]["grid"])
+        return tuple(padfree[0]["grid"]) if padfree else None

@@ -183,8 +183,19 @@ def padded_grid(h: int, w: int, target: Tuple[int, int] = (4, 6),
                 max_pad_frac: float = 0.10):
     """((gh, gw), (pad_h, pad_w)): largest grid <= target reachable by
     padding each axis at most `max_pad_frac`, preferring less padding at
-    equal grid. Falls back to `best_grid` (pad 0) when no pad within the
-    bound unlocks a larger grid.
+    equal grid. The per-axis descent with pad=0 admitted is itself the
+    `best_grid`-equivalent fallback: when no pad within the bound unlocks
+    a larger grid, each axis lands on its largest exactly-dividing g and
+    the result equals best_grid(h, w) with pad (0, 0) — no separate call.
+
+    Pad-budget note: this heuristic caps pads at 10% per axis, while the
+    autotune sweep's padded_candidates explores up to 12.5%
+    (infer/autotune.py). Deliberate asymmetry: the unmeasured heuristic
+    stays conservative (pad work is pure overhead unless the grid change
+    wins, and 10% covers the measured 1056->1152 case), while the sweep —
+    which times every candidate before serving it — may range wider; a
+    'tuned' plan can therefore carry a pad 'auto' would never choose,
+    justified by its measurement.
 
     Encoded crossover (v5e, 2026-08-18, scripts/probe_pad46.py): at
     1056x1920, pad 96 rows (9.1%) -> (4,6) wins -21.5 ms over the

@@ -10,6 +10,7 @@ trivially convertible).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -101,13 +102,15 @@ def fit(
 
     mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
     start_epoch = 0
+    start_batch = 0
     if resume and mgr.latest_step() is not None:
         tree = mgr.restore(item={"params": state.params,
                                  "opt_state": state.opt_state,
                                  "step": state.step})
         state = TrainState(tree["params"], tree["opt_state"], tree["step"])
-        start_epoch, _ = derive_epoch_batch(int(state.step), iters)
-        print(f" [*] resumed from step {int(state.step)} (epoch {start_epoch})")
+        start_epoch, start_batch = derive_epoch_batch(int(state.step), iters)
+        print(f" [*] resumed from step {int(state.step)} "
+              f"(epoch {start_epoch}, batch {start_batch})")
 
     metrics_path = None
     tb = None
@@ -127,6 +130,12 @@ def fit(
     for epoch in range(start_epoch, epochs):
         sums, count = {}, 0
         batches = store.batches(batch_size, epoch_seed=seed + epoch)
+        # mid-epoch resume (FISRnet.py:596-606): the epoch permutation is
+        # epoch-seeded, so skipping the first `start_batch` draws continues
+        # the interrupted epoch on exactly the batches it had left
+        skip = start_batch if epoch == start_epoch else 0
+        if skip:
+            batches = itertools.islice(batches, skip, None)
         if mesh is not None:
             from fisr_tpu.core.mesh import data_sharding
 
@@ -134,7 +143,7 @@ def fit(
                 batches, sharding=lambda nd: data_sharding(mesh, nd))
         else:
             batches = prefetch_to_device(batches)
-        for idx, batch in enumerate(batches):
+        for idx, batch in enumerate(batches, start=skip):
             state, m = step_fn(state, batch)
             count += 1
             for k, v in m.items():

@@ -189,6 +189,66 @@ def test_fisrnet_conversion_dress_rehearsal(workdir, capsys):
     assert converted.ssim_sr == pytest.approx(direct.ssim_sr, abs=1e-5)
 
 
+def test_one_command_tf_ckpt_parity_path(workdir, capsys):
+    """VERDICT r3 item 3: the single documented command from the two TF
+    .ckpt file pairs to the metrics table — `--fisr_tf_ckpt` straight into
+    `--phase test` (read -> convert -> restore -> eval, no separate convert
+    step), and `--pwc_tf_ckpt` into the video phase. Must equal the
+    direct-checkpoint run to float tolerance (reference restore paths:
+    FISRnet.py:1101-1115, model_base.py:115-191)."""
+    import jax
+
+    from fisr_tpu.convert import tf_import
+    from fisr_tpu.convert.tensor_bundle import write_bundle
+    from fisr_tpu.data.png_io import read_png
+    from fisr_tpu.models import fisrnet, pwcnet
+    from fisr_tpu.train.checkpoint import CheckpointManager
+
+    root = workdir["root"]
+    params = fisrnet.init_params(jax.random.PRNGKey(7))
+    bundle_prefix = str(root / "fisr_tf" / "FISRnet-122000")
+    if not glob.glob(bundle_prefix + "*"):
+        os.makedirs(str(root / "fisr_tf"), exist_ok=True)
+        write_bundle(bundle_prefix, tf_import.export_fisrnet(params), crc=False)
+    if not glob.glob(str(root / "ckpt" / "FISRnet_exp8" / "step_*")):
+        CheckpointManager(str(root / "ckpt" / "FISRnet_exp8")).save(
+            122000, {"params": params})
+    capsys.readouterr()
+
+    direct = cli_main(["--phase", "test", "--exp_num", "8"]
+                      + _common_args(workdir))
+    one_cmd = cli_main(["--phase", "test", "--fisr_tf_ckpt", bundle_prefix]
+                       + _common_args(workdir))
+    out = capsys.readouterr().out
+    assert "imported TF1 FISRnet checkpoint" in out
+    assert one_cmd.psnr_sr == pytest.approx(direct.psnr_sr, abs=1e-4)
+    assert one_cmd.psnr_vfi_sr == pytest.approx(direct.psnr_vfi_sr, abs=1e-4)
+    assert one_cmd.ssim_sr == pytest.approx(direct.ssim_sr, abs=1e-5)
+
+    # video phase: --pwc_tf_ckpt + --fisr_tf_ckpt, no convert step anywhere
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(42))
+    pwc_prefix = str(root / "pwc_tf" / "pwcnet.ckpt-595000")
+    if not glob.glob(pwc_prefix + "*"):
+        os.makedirs(str(root / "pwc_tf"), exist_ok=True)
+        write_bundle(pwc_prefix, tf_import.export_pwcnet(pwc_params),
+                     crc=False)
+    base = _common_args(workdir) + [
+        "--phase", "FISR_for_video",
+        "--frame_folder_path", workdir["video"],
+        "--FISR_input_size", "64", "64",
+        "--FISR_test_patch", "1", "1",
+        "--frame_num", "3",
+    ]
+    cli_main(base + ["--video_out_dir", str(root / "vid_tf_direct"),
+                     "--fisr_tf_ckpt", bundle_prefix,
+                     "--pwc_tf_ckpt", pwc_prefix])
+    out = capsys.readouterr().out
+    assert "imported TF1 PWC-Net checkpoint" in out
+    preds = sorted(glob.glob(str(root / "vid_tf_direct" / "pred_[0-9]*.png")))
+    assert len(preds) == 3
+    assert read_png(preds[0]).shape == (128, 128, 3)
+
+
 def test_test_phase_fast_engine(workdir, capsys):
     """--eval_engine fast routes eval through the fully-jitted device path;
     metrics must agree with the exact engine to tiling-approximation noise."""

