@@ -32,6 +32,14 @@ __all__ = ["candidate_grids", "padded_candidates", "sweep", "TuneCache",
 DEFAULT_CACHE_PATH = os.path.join(
     os.path.expanduser("~"), ".cache", "fisr_tpu", "autotune.json")
 
+# Measured plans shipped with the package (keyed by device kind, so they
+# only ever serve on matching hardware): standard video geometries tuned
+# with cli/tune.py on real chips. A local tune for the same key always
+# wins; this file is the out-of-the-box fallback so 720p/1080p/1440p
+# serving starts on a measured plan instead of the heuristic.
+SHIPPED_CACHE_PATH = os.path.join(os.path.dirname(__file__),
+                                  "autotune_shipped.json")
+
 
 def candidate_grids(h: int, w: int, max_gh: int = 6, max_gw: int = 8
                     ) -> List[Tuple[int, int]]:
@@ -143,14 +151,22 @@ class TuneCache:
     that frame size was never tuned here (callers fall back to the
     `best_grid` heuristic)."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None,
+                 shipped_path: Optional[str] = SHIPPED_CACHE_PATH):
         # default resolved at call time so tests/deploys can repoint it
         path = path or DEFAULT_CACHE_PATH
         self.path = path
         self._data: Dict[str, dict] = {}
+        self._local: Dict[str, dict] = {}
+        # shipped entries load first; a local tune for the same key wins
+        # (tune() persists only local entries — never the shipped ones)
+        if shipped_path and os.path.exists(shipped_path):
+            with open(shipped_path) as f:
+                self._data.update(json.load(f))
         if os.path.exists(path):
             with open(path) as f:
-                self._data = json.load(f)
+                self._local = json.load(f)
+            self._data.update(self._local)
 
     @staticmethod
     def _device_kind() -> str:
@@ -199,14 +215,13 @@ class TuneCache:
         dtype = np.dtype(policy.compute_dtype).name
         results = sweep(params, h, w, policy=policy, boundary=boundary,
                         reps=reps, verbose=verbose)
-        self._data[self._key(h, w, dtype, boundary)] = {
-            "results": results,
-            "reps": reps,
-        }
+        entry = {"results": results, "reps": reps}
+        self._data[self._key(h, w, dtype, boundary)] = entry
+        self._local[self._key(h, w, dtype, boundary)] = entry
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._data, f, indent=1, sort_keys=True)
+            json.dump(self._local, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)
         padfree = [r for r in results if tuple(r.get("pad", (0, 0))) == (0, 0)]
         return tuple(padfree[0]["grid"]) if padfree else None

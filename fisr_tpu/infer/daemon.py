@@ -160,6 +160,17 @@ class FISRService:
             z = jnp.zeros((1, 3, height, width, 3), jnp.float32)
             if device is not None:
                 z = jax.device_put(z, device)
+            # pre-flight HBM guardrail on the AOT-compiled program (reused
+            # below — AOT compiles don't land in the jit cache): an
+            # over-budget geometry raises an actionable error here instead
+            # of an allocator abort on the first real request
+            from fisr_tpu.utils.profiling import assert_fits_hbm
+
+            self._window_step = self._window_step.lower(
+                fisr_params, pwc_params, z).compile()
+            assert_fits_hbm(
+                self._window_step,
+                what=f"fused {height}x{width} serving window program")
             np.asarray(self._window_step(fisr_params, pwc_params, z))
             zf = z[:, 0]
             pair = self._pair_fn(pwc_params, zf, zf)

@@ -32,7 +32,7 @@ from fisr_tpu.infer.device import make_device_runner
 from fisr_tpu.ops.conv import F32, Policy
 
 __all__ = ["make_frame_parallel_runner", "make_frame_parallel_video_step",
-           "make_frame_parallel_stream_step"]
+           "make_frame_parallel_stream_step", "pad_stream_round"]
 
 
 def make_frame_parallel_runner(mesh: Mesh, mode: str = "tiled",
@@ -70,7 +70,8 @@ def make_frame_parallel_video_step(mesh: Mesh, axis: str = DATA_AXIS,
 
 def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
                                     policy: Policy = F32, upscale: int = 2,
-                                    sf: int = 2, fisr_grid=None, cfg=None):
+                                    sf: int = 2, fisr_grid=None, cfg=None,
+                                    ragged: bool = False):
     """Pair-cached frame-parallel streaming: windows round-robin over chips,
     the shared frame pair rides ICI instead of being recomputed.
 
@@ -96,6 +97,18 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
     as the next round's `left_pair` (it is pair (N, N+1) = the next round's
     window 0 first pair). Reference semantics unchanged: same three-stage
     math as FISRnet.py:937-1084, just partitioned.
+
+    ragged=True returns fn(fisr_params, pwc_params, frames, left_pair,
+    n_valid) supporting a FINAL SHORT round (the reference's video phase
+    handles arbitrary N-2 windows, FISRnet.py:937-1084; a stream's window
+    count rarely divides the mesh): pad the round to N windows on the host
+    (`pad_stream_round` repeats the last valid window), pass the true count
+    as n_valid (traced scalar — one compiled program serves every tail
+    size), slice pred[:n_valid]; the returned carry is the n_valid-th
+    window's new pair EXACTLY (a dynamic gather over the sharded pair
+    stack), so threading stays bit-consistent with an unpadded stream.
+    Padded windows compute garbage that is discarded; they never feed a
+    valid window (window k's first pair comes from window k-1 < n_valid).
     """
     from jax import shard_map
 
@@ -123,6 +136,10 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
             [jnp.where(first, left_pair[1][-1:], recv_w), warps_hi[:-1]], 0)
         pred = _fisr_window_core(fisr_params, f0, f1, f2, lo_f, lo_w,
                                  flows_hi, warps_hi, policy, sf, fisr_grid)
+        if ragged:
+            # full per-window pair stacks: the caller gathers the carry at
+            # the last VALID window, which may sit on any chip
+            return pred, (flows_hi, warps_hi)
         return pred, (flows_hi[-1:], warps_hi[-1:])
 
     rep = P()
@@ -135,9 +152,35 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
         check_vma=False,
     )
 
-    def fn(fisr_params, pwc_params, frames, left_pair):
-        pred, (lf, lw) = mapped(fisr_params, pwc_params, frames, left_pair)
-        # per-chip [1, ...] stack -> the globally-last chip's pair
-        return pred, (lf[-1:], lw[-1:])
+    if ragged:
+        def fn(fisr_params, pwc_params, frames, left_pair, n_valid):
+            pred, (af, aw) = mapped(fisr_params, pwc_params, frames,
+                                    left_pair)
+            # carry = new pair of window n_valid-1 (exact for short rounds)
+            i = n_valid - 1
+            return pred, (jax.lax.dynamic_slice_in_dim(af, i, 1, 0),
+                          jax.lax.dynamic_slice_in_dim(aw, i, 1, 0))
+    else:
+        def fn(fisr_params, pwc_params, frames, left_pair):
+            pred, (lf, lw) = mapped(fisr_params, pwc_params, frames,
+                                    left_pair)
+            # per-chip [1, ...] stack -> the globally-last chip's pair
+            return pred, (lf[-1:], lw[-1:])
 
     return jax.jit(fn)
+
+
+def pad_stream_round(windows, n_round: int):
+    """Host-side helper for the ragged stream step: pad a short final round
+    of consecutive windows [n, 3, h, w, C] to [n_round, ...] by repeating
+    the last valid window (its values are computed and discarded). Returns
+    (padded_windows, n_valid)."""
+    import numpy as np
+
+    n = windows.shape[0]
+    if not 0 < n <= n_round:
+        raise ValueError(f"need 0 < n <= {n_round} windows, got {n}")
+    if n == n_round:
+        return windows, n
+    reps = np.concatenate([np.arange(n), np.full(n_round - n, n - 1)])
+    return jnp.asarray(np.asarray(windows)[reps]), n

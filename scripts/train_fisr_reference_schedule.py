@@ -141,8 +141,12 @@ def main():
     su = {k: flow_signs(bank[k].shape[-1], 0) for k in ("flow", "flow_ss2")}
     sv = {k: flow_signs(bank[k].shape[-1], 1) for k in ("flow", "flow_ss2")}
 
-    def gather(idx):
-        """idx [B] global sample ids -> dequantized, augmented f32 batch."""
+    def gather(bank, idx):
+        """idx [B] global sample ids -> dequantized, augmented f32 batch.
+
+        `bank` rides as an ARGUMENT (already device-committed, zero
+        transfer): a closure capture would bake the 6.9 GB bank into the
+        lowering as constants and duplicate it in HBM."""
         b = idx % nb
         code = (idx // nb)[:, None, None, None]
         out = {}
@@ -163,7 +167,10 @@ def main():
     opt = adam_with_schedule(schedule.stair_decay(1e-4, boundaries, 0.1))
     step = make_train_step(opt, policy=policy, donate=True)
     val_step = make_val_step(policy=policy)
-    gather_j = jax.jit(gather)
+    import functools
+
+    _gather_jit = jax.jit(gather)
+    gather_j = functools.partial(_gather_jit, bank)
 
     def make_fresh_state():
         return create_state(jax.random.PRNGKey(0), opt)

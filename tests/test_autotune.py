@@ -92,3 +92,36 @@ def test_resolve_fisr_grid(tmp_path, params, monkeypatch):
     grid = cache.tune(params, 96, 96, policy=F32, reps=1,
                       )
     assert resolve_fisr_grid("tuned", 96, 96, F32) == grid
+
+
+def test_shipped_cache_fallback_and_local_wins(tmp_path):
+    """Shipped per-device-kind plans (fisr_tpu/infer/autotune_shipped.json)
+    serve when the user cache has no entry; a local tune for the same key
+    always wins; tune() never writes shipped entries into the user cache."""
+    from fisr_tpu.infer.autotune import TuneCache
+
+    kind = TuneCache._device_kind()
+    key = f"{kind}|1056x1920|bfloat16|b32"
+    shipped = str(tmp_path / "shipped.json")
+    local = str(tmp_path / "autotune.json")
+    with open(shipped, "w") as f:
+        json.dump({key: {"results": [
+            {"grid": [4, 6], "pad": [96, 0], "sec": 0.21, "mode": "padded"},
+            {"grid": [3, 6], "pad": [0, 0], "sec": 0.23, "mode": "tiled"},
+        ], "reps": 3}}, f)
+
+    cache = TuneCache(local, shipped_path=shipped)
+    assert cache.best_plan(1056, 1920) == ((4, 6), (96, 0))
+    assert cache.best(1056, 1920) == (3, 6)  # best PAD-FREE entry
+
+    # a local measurement for the same key overrides the shipped one
+    with open(local, "w") as f:
+        json.dump({key: {"results": [
+            {"grid": [2, 4], "pad": [0, 0], "sec": 0.19, "mode": "tiled"},
+        ], "reps": 3}}, f)
+    cache = TuneCache(local, shipped_path=shipped)
+    assert cache.best_plan(1056, 1920) == ((2, 4), (0, 0))
+
+    # no shipped file -> plain local behavior (and no crash)
+    cache = TuneCache(local, shipped_path=str(tmp_path / "missing.json"))
+    assert cache.best(1056, 1920) == (2, 4)

@@ -113,3 +113,56 @@ def test_frame_parallel_stream_step_multiple_windows_per_chip():
     np.testing.assert_allclose(np.asarray(carry[0], np.float32),
                                np.asarray(want_pair[0], np.float32),
                                rtol=5e-3, atol=2e-3)
+
+
+def test_frame_parallel_stream_ragged_final_round():
+    """Ragged final round (VERDICT r4 item 6): 5 valid windows padded to an
+    8-device round; pred[:5] equals the monolithic step and the carry is the
+    5th window's new pair EXACTLY — so a stream whose window count doesn't
+    divide the mesh (the reference's video phase handles arbitrary N-2
+    windows, FISRnet.py:937-1084) threads on bit-consistently."""
+    from fisr_tpu.infer.serving import (make_frame_parallel_stream_step,
+                                        pad_stream_round)
+    from fisr_tpu.infer.video import make_fused_video_step, make_pair_fn
+    from fisr_tpu.models import pwcnet
+
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(1))
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    # 5 windows = 7 frames; window k = (k, k+1, k+2)
+    seq = jnp.asarray(
+        rng.uniform(0, 255, size=(7, 64, 64, 3)).astype(np.float32))
+    windows = jnp.stack([seq[k:k + 3] for k in range(5)])
+
+    mesh = make_mesh((8, 1))
+    stream = make_frame_parallel_stream_step(mesh, ragged=True)
+    padded, n_valid = pad_stream_round(windows, 8)
+    assert padded.shape[0] == 8 and n_valid == 5
+    carry0 = make_pair_fn()(pwc_params, seq[None, 0], seq[None, 1])
+    pred, carry = stream(fisr_params, pwc_params, padded, carry0,
+                         jnp.asarray(n_valid))
+    got = np.asarray(pred, np.float32)[:n_valid]
+
+    local = make_fused_video_step()
+    want = np.asarray(local(fisr_params, pwc_params, windows), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    # carry = window 4's NEW pair = pair (5, 6), not a padded window's
+    want_pair = make_pair_fn()(pwc_params, seq[None, 5], seq[None, 6])
+    np.testing.assert_allclose(np.asarray(carry[0], np.float32),
+                               np.asarray(want_pair[0], np.float32),
+                               rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(carry[1], np.float32),
+                               np.asarray(want_pair[1], np.float32),
+                               rtol=5e-3, atol=2e-3)
+
+    # a full ragged-mode round (n_valid == N) matches the plain step's carry
+    seq2 = jnp.asarray(
+        rng.uniform(0, 255, size=(10, 64, 64, 3)).astype(np.float32))
+    windows2 = jnp.stack([seq2[k:k + 3] for k in range(8)])
+    carry1 = make_pair_fn()(pwc_params, seq2[None, 0], seq2[None, 1])
+    pred2, carry2 = stream(fisr_params, pwc_params, windows2, carry1,
+                           jnp.asarray(8))
+    want_pair2 = make_pair_fn()(pwc_params, seq2[None, 8], seq2[None, 9])
+    np.testing.assert_allclose(np.asarray(carry2[0], np.float32),
+                               np.asarray(want_pair2[0], np.float32),
+                               rtol=5e-3, atol=2e-3)

@@ -1,0 +1,34 @@
+"""Shape/semantics validation of scripts/bench_serving.py on the virtual
+8-CPU mesh (timings are meaningless on CPU; the record structure, mesh
+plumbing, and both measurement modes must work on any mesh size so the
+script is ready to point at a real v5e-8 — round-4 VERDICT item 4)."""
+
+import importlib.util
+import json
+import os
+
+import jax
+
+
+def _load_bench_serving():
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                        "bench_serving.py")
+    spec = importlib.util.spec_from_file_location("bench_serving", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_measure_on_virtual_mesh():
+    bench = _load_bench_serving()
+    rec = bench.measure(height=32, width=64, per_chip=1, rounds=1, warmup=1,
+                        dtype="float32")
+    assert rec["metric"] == "fisr_serving_windows_per_sec"
+    assert rec["detail"]["n_devices"] == len(jax.devices()) == 8
+    for mode in ("frame_parallel", "stream"):
+        d = rec["detail"][mode]
+        assert d["windows_per_sec"] > 0
+        assert d["sec_per_round"] > 0
+    # one JSON line, stable metric name
+    line = json.dumps(rec)
+    assert json.loads(line)["value"] == rec["detail"]["stream"]["windows_per_sec"]

@@ -80,3 +80,32 @@ def test_param_summary_and_float_color():
     want[:, :, 2] -= 226.8183044444304
     got = np.asarray(yuv2rgb_float(yuv))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_assert_fits_hbm_guardrail():
+    """HBM pre-flight (VERDICT r4 item 7): an over-budget program must raise
+    an actionable error naming the remedies; an in-budget one returns the
+    accounting; no introspection -> no-op None."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from fisr_tpu.utils.profiling import assert_fits_hbm
+
+    f = jax.jit(lambda x: x @ x + 1.0)
+    x = jnp.ones((64, 64), jnp.float32)
+
+    info = assert_fits_hbm(f, (x,), what="tiny matmul",
+                           limit_bytes=1 << 30)
+    assert info is not None and info["need_bytes"] > 0
+
+    with pytest.raises(RuntimeError, match="fisr_grid|sharded|geometry"):
+        assert_fits_hbm(f, (x,), what="tiny matmul", limit_bytes=1000)
+
+    # compiled-object form (what the serving daemon passes)
+    compiled = f.lower(x).compile()
+    with pytest.raises(RuntimeError, match="HBM"):
+        assert_fits_hbm(compiled, what="compiled form", limit_bytes=1000)
+
+    # unknown limit + no introspection fallback -> None, never a crash
+    assert assert_fits_hbm(object(), what="bogus", limit_bytes=None) is None
