@@ -29,8 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--fisr_grid", default="auto",
-                   help="'auto' (heuristic), 'tuned' (autotune cache), "
-                        "'full' (no tiling), or 'GH,GW'")
+                   help="'auto' (heuristic — serving's throughput default; "
+                        "deviation vs full-frame measured at the 36.8 dB "
+                        "class at 1080p, PARITY.md), 'tuned' (autotune "
+                        "cache), 'full' (no tiling, exact parity), or "
+                        "'GH,GW'")
     p.add_argument("--flow_scale", type=int, default=2, choices=(1, 2),
                    help="2 = reference-parity x2-upscaled flow; 1 = fast "
                         "mode (~1.5x throughput, see PARITY.md; pair with a "

@@ -296,7 +296,7 @@ def run_video_pipeline(
     verbose: bool = True,
     fused: bool = False,
     flow_upscale: int = 2,
-    fisr_grid="auto",
+    fisr_grid=None,
 ):
     """Full FISR_for_video over a folder of YUV PNGs.
 
@@ -309,7 +309,12 @@ def run_video_pipeline(
     fisr_grid picks the fused window stage's FISRnet tiling plan ('auto' =
     measured heuristic incl. edge-padded grids, 'tuned' = autotune cache,
     tuple = explicit, None = full-frame); the staged path keeps `grid`
-    (the reference's --test_patch semantics).
+    (the reference's --test_patch semantics). Default None = full-frame,
+    matching the reference's video phase (FISRnet.py:937-1084 runs whole
+    frames, no patching); tiling is an opt-in throughput mode whose
+    deviation vs full-frame is measured at the 36.8 dB / 0.9957 SSIM class
+    at 1080p (PARITY.md "fused-grid tiling", PARITY_fused_grid.json —
+    receptive-field truncation at the 32 px halo, worst at patch seams).
 
     flow_upscale=2 is reference parity — the flow stage upscales each frame
     pair x2 before PWC-Net and scales the flow back down (the reference's
