@@ -147,9 +147,11 @@ def make_frame_parallel_stream_step(mesh: Mesh, axis: str = DATA_AXIS,
         local_step, mesh=mesh,
         in_specs=(rep, rep, P(axis), rep),
         out_specs=(P(axis), (P(axis), P(axis))),
-        # axis_index/ppermute make the body varying in `axis`; skip the
-        # varying-manual-axes check (jax>=0.8 name for the old check_rep)
-        check_vma=False,
+        # jax 0.9 auto-inserts pvary when replicated inputs (params,
+        # left_pair) meet axis-varying values, so the varying-manual-axes
+        # checker can stay ON: a wrong out_spec now fails at trace time
+        # instead of surfacing as wrong numbers (VERDICT r3 weak #6).
+        check_vma=True,
     )
 
     if ragged:

@@ -57,6 +57,9 @@ def make_sharded_runner(mesh: Mesh, axis: str = SPATIAL_AXIS, boundary: int = 32
         mesh=mesh,
         in_specs=(P(), P(None, None, axis, None)),
         out_specs=P(None, None, axis, None),
-        check_vma=False,
+        # jax 0.9 auto-pvaries the replicated params into the varying strip
+        # compute; keep the checker ON so out_spec bugs fail at trace time
+        # (VERDICT r3 weak #6).
+        check_vma=True,
     )
     return jax.jit(mapped)

@@ -204,8 +204,21 @@ def main():
         return float(np.mean(ps))
 
     curve = []
-    interrupted_once = args.resume  # don't re-interrupt a resumed run
     interrupt_verified = False
+    if args.resume and os.path.exists(args.out_json):
+        # Session-level resume (the driver restarted us): keep the receipt's
+        # earlier epochs and the interrupt-verification flag instead of
+        # clobbering them with a fresh curve.
+        with open(args.out_json) as f:
+            prev = json.load(f)
+        curve = [c for c in prev.get("curve", []) if c["epoch"] < start_epoch]
+        interrupt_verified = prev.get("interrupt_resume", {}).get(
+            "verified", False)
+        print(f"[refsched] carried over {len(curve)} epochs of curve from "
+              f"{args.out_json}", flush=True)
+    # Only disarm the simulated crash if the run already passed that point.
+    interrupted_once = interrupt_verified or (
+        args.resume and (start_epoch, start_batch) >= (INTERRUPT or (0, 0)))
     t_run = time.time()
     step_times = []
     ep = start_epoch

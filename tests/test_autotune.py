@@ -28,6 +28,7 @@ def params():
     return fisrnet.init_params(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_sweep_orders_results_and_tags_modes(params):
     res = sweep(params, 96, 96, policy=Policy(jnp.float32), reps=1,
                 grids=[(1, 1), (3, 3)])
@@ -36,6 +37,7 @@ def test_sweep_orders_results_and_tags_modes(params):
     assert res == sorted(res, key=lambda r: r["sec"])
 
 
+@pytest.mark.slow
 def test_tune_cache_roundtrip(tmp_path, params):
     path = str(tmp_path / "autotune.json")
     cache = TuneCache(path)
@@ -55,6 +57,7 @@ def test_tune_cache_roundtrip(tmp_path, params):
     assert "96x96" in key and "float32" in key
 
 
+@pytest.mark.slow
 def test_tune_cli_end_to_end(tmp_path, capsys):
     import json as _json
 
@@ -71,6 +74,7 @@ def test_tune_cli_end_to_end(tmp_path, capsys):
     assert json.load(open(path))  # persisted
 
 
+@pytest.mark.slow
 def test_resolve_fisr_grid(tmp_path, params, monkeypatch):
     from fisr_tpu.infer import autotune
     from fisr_tpu.infer.device import best_grid

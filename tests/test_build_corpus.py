@@ -6,6 +6,9 @@ from fisr_tpu.cli.build_corpus import build_corpus
 from fisr_tpu.data.dataset import TrainStore
 from fisr_tpu.data.synth import _scene
 from fisr_tpu.data.png_io import write_png, list_pngs
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast lane
 
 
 def test_build_corpus_end_to_end(tmp_path):

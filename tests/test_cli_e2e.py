@@ -52,6 +52,7 @@ def _common_args(workdir):
     ]
 
 
+@pytest.mark.slow
 def test_train_phase_then_autotest(workdir):
     cli_main(["--phase", "train"] + _common_args(workdir))
     root = workdir["root"]
@@ -67,6 +68,7 @@ def test_train_phase_then_autotest(workdir):
     assert glob.glob(str(root / "imgs" / "FISRnet_exp1" / "pred_*.png"))
 
 
+@pytest.mark.slow
 def test_test_phase_restores_checkpoint(workdir, capsys):
     # self-sufficient when run in isolation: ensure a checkpoint exists
     if not glob.glob(str(workdir["root"] / "ckpt" / "FISRnet_exp1" / "step_*")):
@@ -101,6 +103,7 @@ def test_video_phase(workdir):
     assert glob.glob(os.path.join(workdir["video"], "*_ss1_fr3_warp.mat"))
 
 
+@pytest.mark.slow
 def test_video_phase_pwc_ckpt_restore(workdir, capsys):
     """--pwc_ckpt end-to-end: export_pwcnet -> write_bundle -> convert.cli ->
     FISR_for_video restores it and produces different outputs than fresh init
@@ -152,6 +155,7 @@ def test_video_phase_pwc_ckpt_restore(workdir, capsys):
         cli_main(base + ["--pwc_ckpt", str(root / "does_not_exist")])
 
 
+@pytest.mark.slow
 def test_fisrnet_conversion_dress_rehearsal(workdir, capsys):
     """The day-weights-arrive path, automated: a full-size FISRnet exported
     to a TF1 TensorBundle, converted via convert.cli, restored by --phase
@@ -189,6 +193,7 @@ def test_fisrnet_conversion_dress_rehearsal(workdir, capsys):
     assert converted.ssim_sr == pytest.approx(direct.ssim_sr, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_one_command_tf_ckpt_parity_path(workdir, capsys):
     """VERDICT r3 item 3: the single documented command from the two TF
     .ckpt file pairs to the metrics table — `--fisr_tf_ckpt` straight into
@@ -249,6 +254,7 @@ def test_one_command_tf_ckpt_parity_path(workdir, capsys):
     assert read_png(preds[0]).shape == (128, 128, 3)
 
 
+@pytest.mark.slow
 def test_test_phase_fast_engine(workdir, capsys):
     """--eval_engine fast routes eval through the fully-jitted device path;
     metrics must agree with the exact engine to tiling-approximation noise."""

@@ -1,6 +1,7 @@
 """TF checkpoint name-map converter: round trips + structure match."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,7 @@ def test_pwcnet_map_covers_exactly_the_param_tree():
     assert mapped == ours, (sorted(ours - mapped)[:3], sorted(mapped - ours)[:3])
 
 
+@pytest.mark.slow
 def test_fisrnet_roundtrip():
     params = fisrnet.init_params(jax.random.PRNGKey(1))
     tf_vars = tf_import.export_fisrnet(params)

@@ -86,6 +86,7 @@ def test_health_and_info(url):
     assert info["frame"] == [H, W]
 
 
+@pytest.mark.slow
 def test_window_endpoint(url):
     code, ctype, body = _post(url + "/v1/window", pack_frames(_frames(3)))
     assert code == 200 and ctype == "application/x-fisr-frames"
@@ -105,6 +106,7 @@ def test_wrong_frame_size_is_400(url):
     assert code == 400 and b"compiled for" in body
 
 
+@pytest.mark.slow
 def test_stream_matches_monolithic_window(url, service):
     frames = _frames(4, seed=7)
     pair0 = service.stats["pair_programs"]
@@ -252,6 +254,7 @@ def multi(params):
                             devices=jax.devices()[:2])
 
 
+@pytest.mark.slow
 def test_multichip_routing_and_carry(multi, service):
     """Streams pin to one chip; output equals the single-chip service's."""
     frames = _frames(3, seed=21)
@@ -271,6 +274,7 @@ def test_multichip_routing_and_carry(multi, service):
     assert multi.drop_stream("pinned") is True
 
 
+@pytest.mark.slow
 def test_multichip_window_round_robin(multi):
     frames = _frames(3, seed=22)
     before = [s.stats["windows"] for s in multi.services]

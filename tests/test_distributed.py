@@ -8,8 +8,10 @@ from fisr_tpu.core.mesh import data_sharding, make_mesh, replicated, shard_batch
 from fisr_tpu.data.synth import synthetic_store
 from fisr_tpu.train import schedule
 from fisr_tpu.train.trainer import adam_with_schedule, create_state, make_train_step
+import pytest
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     store = synthetic_store(n_samples=10, h=32, w=32, seed=0, val_size=2)
     opt = adam_with_schedule(schedule.no_decay(1e-4))
@@ -47,6 +49,7 @@ def test_shard_batch_layout():
     assert len(shard_shapes) == 8
 
 
+@pytest.mark.slow
 def test_spatial_plus_data_sharded_train_step_matches_local():
     """Full train step with the batch sharded over BOTH mesh axes (batch
     over 'data', image width over 'spatial') — GSPMD partitions the convs
@@ -78,6 +81,7 @@ def test_spatial_plus_data_sharded_train_step_matches_local():
                                float(m_sharded["total_loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pwc_dp_train_step_matches_single_device():
     """PWC-Net DP over the mesh 'data' axis == local step — the TPU-native
     replacement for the reference's ONLY multi-device mechanism (PWC tower

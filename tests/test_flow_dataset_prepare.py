@@ -1,6 +1,7 @@
 """Flow dataset, TB event writer, and offline prep CLI."""
 
 import os
+import pytest
 
 import numpy as np
 
@@ -105,6 +106,7 @@ def test_tb_logger_writes_readable_records(tmp_path):
     assert n_records == 4  # file_version + 3 events
 
 
+@pytest.mark.slow
 def test_prepare_cli_roundtrip(tmp_path):
     """flow-from-mat -> warp-from-mat produce reference-format artifacts."""
     from fisr_tpu.cli.prepare import main as prep_main

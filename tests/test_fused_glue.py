@@ -14,6 +14,7 @@ import numpy as np
 from fisr_tpu.models import fisrnet
 from fisr_tpu.ops.conv import F32, conv2d, conv_in_fused, init_conv
 from fisr_tpu.ops.resize import downsample_int
+import pytest
 
 
 def test_conv_in_fused_strided_equals_downsample_conv():
@@ -47,6 +48,7 @@ def test_conv_in_fused_split_and_strided_together():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_apply_fuse_input_glue_matches_composed():
     """Full 3-level apply with fuse_input_glue: all three level outputs must
     match the composed path to summation-order noise (measured ~1e-11 at
@@ -63,6 +65,7 @@ def test_apply_fuse_input_glue_matches_composed():
         assert np.abs(r - g).max() <= 2e-5 * scale, (np.abs(r - g).max(), scale)
 
 
+@pytest.mark.slow
 def test_fast_engine_interior_matches_exact_engine():
     """Quantified fast-vs-exact deviation (round-3 item 5): the fast engine
     (FastTiledRunner: padded tiling + stale shrink + fast upsample + fused
@@ -93,6 +96,7 @@ def test_fast_engine_interior_matches_exact_engine():
     assert whole < 0.15, whole
 
 
+@pytest.mark.slow
 def test_apply_fuse_input_glue_with_stale_halo():
     """The fused path composes with the stale-halo shrink + fast upsample
     (the exact configuration infer/device.tiled_apply traces)."""

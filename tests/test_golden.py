@@ -7,6 +7,7 @@ Values were recorded on the CPU backend (f32) at round 1.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,7 @@ def test_fisrnet_forward_golden():
         np.array(GOLDEN["fisr_p1_slice"], np.float32))
 
 
+@pytest.mark.slow
 def test_pwcnet_forward_golden():
     cfg = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
                               cost_volume_impl="xla")

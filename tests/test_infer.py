@@ -48,6 +48,7 @@ def test_halo_math_exact_port():
     assert ah == 16 and aw == 16
 
 
+@pytest.mark.slow
 def test_tiled_exact_matches_reference_loop(params):
     # patch sizes must stay multiples of 32 (3 maxpools at the 1/4-scale
     # level), same constraint the reference enforces by cropping
@@ -86,6 +87,7 @@ def test_sharded_matches_padded_tiling(params):
     assert got.shape == (1, 64, 512, 9)
 
 
+@pytest.mark.slow
 def test_tiled_exact_interior_patches(params):
     """Grids beyond the reference's 2x2: interior patches carry two-sided
     halos, producing multiple shape groups (corner/edge/interior)."""
@@ -111,6 +113,7 @@ def test_best_grid_rules():
         best_grid(1080, 1920)
 
 
+@pytest.mark.slow
 def test_tiled_apply_padded_equals_manual_pad(params):
     """tiled_apply_padded == edge-pad -> tiled_apply -> crop (construction
     equality pins the wiring the video window stage rides through
@@ -134,6 +137,7 @@ def test_tiled_apply_padded_equals_manual_pad(params):
     np.testing.assert_array_equal(same, ref)
 
 
+@pytest.mark.slow
 def test_tiled_apply_padded_deviation_vs_unpadded(params):
     """The padded plan's deviation CLASS vs a pad-free tiling of the same
     frame: (2,3)+32-row pad vs (1,3) differ only through halo truncation /

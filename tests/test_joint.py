@@ -9,6 +9,10 @@ import pytest
 from fisr_tpu.models import fisrnet, pwcnet
 from fisr_tpu.train.joint import create_joint_state, make_joint_train_step
 
+# Full-width joint steps are heavyweight (56-380 s on a loaded CPU host);
+# the fast lane keeps subsystem coverage via the narrow-model smoke below.
+slow = pytest.mark.slow
+
 H = W = 64
 B = 2
 
@@ -35,6 +39,34 @@ def _leaf_delta(a, b):
                                jax.tree_util.tree_leaves(b)))
 
 
+def test_joint_step_narrow_model_smoke():
+    """Fast-lane coverage of the joint grad path (one backward program
+    through flow -> warp -> FISRnet): narrow ch=8 FISRnet + pyr_lvls=4
+    PWC-Net run the identical autodiff structure at millisecond runtimes.
+    Full-width descent/equality stays in the slow tests below."""
+    cfg = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
+                              cost_volume_impl="xla")
+    fisr0 = fisrnet.init_params(jax.random.PRNGKey(0), ch=8)
+    pwc0 = pwcnet.init_params(jax.random.PRNGKey(1), cfg)
+    step = make_joint_train_step(optax.adam(1e-3), optax.adam(1e-4), cfg=cfg,
+                                 donate=False)
+    state = create_joint_state(fisr0, pwc0, optax.adam(1e-3),
+                               optax.adam(1e-4))
+    rng = np.random.default_rng(5)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(0, 255, (1, 3, 32, 32, 3)),
+                              jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 9)),
+                              jnp.float32),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["joint_loss"]))
+    # gradients reached BOTH trees through the fused program
+    assert _leaf_delta(state.fisr_params, fisr0) > 0
+    assert _leaf_delta(state.pwc_params, pwc0) > 0
+
+
+@slow
 def test_joint_step_updates_both_models_and_descends(params):
     fisr0, pwc0 = params
     step = make_joint_train_step(optax.adam(1e-4), optax.adam(1e-5),
@@ -56,6 +88,7 @@ def test_joint_step_updates_both_models_and_descends(params):
     assert np.isfinite(float(metrics["joint_PSNR"]))
 
 
+@slow
 def test_joint_step_fast_mode_upscale1(params):
     """upscale=1 (the fast serving mode) must train too: fine-tuning WITH
     flow at native resolution specializes a checkpoint to --flow_scale 1
@@ -74,6 +107,7 @@ def test_joint_step_fast_mode_upscale1(params):
     assert losses[-1] < losses[0] and np.isfinite(losses).all()
 
 
+@slow
 def test_joint_step_data_parallel_matches_local(params):
     """DP over the virtual mesh: replicated params + batch sharded on
     'data' must produce the same update as the local step (GSPMD inserts
@@ -113,6 +147,7 @@ def test_joint_step_data_parallel_matches_local(params):
         assert d[~flips].max(initial=0.0) <= 1e-5   # everything else equal
 
 
+@slow
 def test_frozen_pwc_mode(params):
     fisr0, pwc0 = params
     step = make_joint_train_step(optax.adam(1e-4), None, donate=False)

@@ -23,6 +23,7 @@ def test_fisrnet_param_count(fisr_params):
     assert lvl1 == 16_101_961, lvl1
 
 
+@pytest.mark.slow
 def test_fisrnet_output_shapes(fisr_params):
     x = jnp.zeros((2, 64, 96, 29), jnp.float32)
     p1, p2, p3 = fisrnet.apply(fisr_params, x)
@@ -38,6 +39,7 @@ def test_fisrnet_jit_and_finite(fisr_params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_fisrnet_bf16_policy_close_to_f32(fisr_params):
     x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 29))
     f32 = np.asarray(fisrnet.apply(fisr_params, x, policy=F32)[2])
@@ -68,6 +70,7 @@ def pwc_params():
     return pwcnet.init_params(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_pwcnet_shapes_and_pyramid(pwc_params):
     cfg = pwcnet.PWCNetConfig()
     x1 = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
@@ -107,6 +110,7 @@ def test_pwcnet_identity_pair_small_flow(pwc_params):
     assert np.isfinite(np.asarray(flow)).all()
 
 
+@pytest.mark.slow
 def test_head_tail_conv_equals_naive_composition():
     # head_tail_conv is an exact packed rewrite of relu -> d2s -> conv3x3
     # (the head tail, reference FISRnet.py:99-101); only float association
@@ -124,6 +128,7 @@ def test_head_tail_conv_equals_naive_composition():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_level_batch_invariance_f32(fisr_params):
     # The merged-head-conv0 and packed head-tail rewrites must keep the
     # model batch-invariant: a batch-2 apply equals two batch-1 applies

@@ -11,6 +11,7 @@ from fisr_tpu.train.pwc_loss import epe, pwcnet_loss
 from fisr_tpu.train.pwc_trainer import (create_pwc_state, make_pwc_eval_step,
                                         make_pwc_train_step)
 from fisr_tpu.train.trainer import adam_with_schedule
+import pytest
 
 CFG = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
                           cost_volume_impl="xla")
@@ -103,6 +104,7 @@ def test_augment_flow_consistency():
     assert np.allclose(shift, shift[0, 0])  # uniform offset
 
 
+@pytest.mark.slow
 def test_pwc_fit_end_to_end(tmp_path):
     from fisr_tpu.data.flow_dataset import FlowDataset
     from fisr_tpu.train.pwc_trainer import pwc_fit

@@ -8,8 +8,15 @@ from fisr_tpu.core.mesh import make_mesh
 from fisr_tpu.infer.device import make_device_runner
 from fisr_tpu.infer.serving import make_frame_parallel_runner
 from fisr_tpu.models import fisrnet
+import pytest
+
+# Full-width equality tests are heavyweight (50-105 s each on a loaded
+# CPU host); the fast lane keeps subsystem coverage via the narrow-model
+# smoke at the bottom.
+slow = pytest.mark.slow
 
 
+@slow
 def test_frame_parallel_matches_local():
     params = fisrnet.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh((8, 1))
@@ -24,6 +31,7 @@ def test_frame_parallel_matches_local():
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
 
 
+@slow
 def test_frame_parallel_video_step_matches_local():
     """The fused flow->warp->FISRnet step with the window batch sharded over
     the mesh must equal the unsharded step (zero-traffic throughput mode)."""
@@ -47,6 +55,7 @@ def test_frame_parallel_video_step_matches_local():
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
 
 
+@slow
 def test_frame_parallel_stream_step_matches_monolithic():
     """Pair-cached frame-parallel streaming (shared pair over ppermute, carry
     threaded between rounds) == per-window monolithic step, two rounds."""
@@ -83,6 +92,7 @@ def test_frame_parallel_stream_step_matches_monolithic():
                                rtol=5e-3, atol=2e-3)
 
 
+@slow
 def test_frame_parallel_stream_step_multiple_windows_per_chip():
     """B=2 windows per chip in one round (N=16 over 8 chips): window 2i's
     first pair crosses chips (ppermute), window 2i+1's comes from its
@@ -115,6 +125,38 @@ def test_frame_parallel_stream_step_multiple_windows_per_chip():
                                rtol=5e-3, atol=2e-3)
 
 
+def test_stream_step_narrow_model_smoke():
+    """Fast-lane coverage of the pair-cached ppermute stream (the per-commit
+    gate must touch every subsystem): a narrow (ch=8) FISRnet + shallow
+    (pyr_lvls=4) PWC-Net run the IDENTICAL shard_map program structure —
+    ppermute pair sharing, axis_index first-chip select, carry threading —
+    at millisecond runtimes (apply paths read widths from param shapes).
+    Full-width equality stays in the slow tests above."""
+    from fisr_tpu.infer.serving import make_frame_parallel_stream_step
+    from fisr_tpu.infer.video import make_pair_fn
+    from fisr_tpu.models import pwcnet
+
+    cfg = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2)
+    fisr_params = fisrnet.init_params(jax.random.PRNGKey(0), ch=8)
+    pwc_params = pwcnet.init_params(jax.random.PRNGKey(7), cfg)
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(3)
+    seq = jnp.asarray(rng.uniform(0, 255, size=(10, 32, 32, 3)), jnp.float32)
+    windows = jnp.stack([seq[k:k + 3] for k in range(8)])
+    pair_fn = make_pair_fn(cfg)
+    stream = make_frame_parallel_stream_step(mesh, cfg=cfg)
+    carry0 = pair_fn(pwc_params, seq[None, 0], seq[None, 1])
+    pred, carry = stream(fisr_params, pwc_params, windows, carry0)
+    assert pred.shape == (8, 64, 64, 9)
+    assert np.isfinite(np.asarray(pred)).all()
+    # the returned carry must be the globally-last window's NEW pair
+    want = pair_fn(pwc_params, seq[None, 8], seq[None, 9])
+    np.testing.assert_allclose(np.asarray(carry[0], np.float32),
+                               np.asarray(want[0], np.float32),
+                               rtol=5e-3, atol=2e-3)
+
+
+@slow
 def test_frame_parallel_stream_ragged_final_round():
     """Ragged final round (VERDICT r4 item 6): 5 valid windows padded to an
     8-device round; pred[:5] equals the monolithic step and the carry is the

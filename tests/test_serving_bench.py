@@ -8,6 +8,9 @@ import json
 import os
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast lane
 
 
 def _load_bench_serving():

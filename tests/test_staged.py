@@ -140,6 +140,7 @@ def test_stale_halo_shrink_is_bit_exact():
                                   full[:, 64:-64, 64:-64])
 
 
+@pytest.mark.slow
 def test_tiled_apply_shrink_matches_host_padded_tiling():
     """device.tiled_apply (in-jit stale-halo shrink + level-3 fast upsample)
     must equal the host-staged padded TiledRunner, which carries the full
@@ -166,6 +167,7 @@ def test_run_level_tiled_grid_1x1_is_exact():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_run_level_tiled_close_to_full_frame():
     """Tiled level vs full-frame: agreement within the halo-truncation noise
     of the reference tiling scheme itself. Contractive weights (trained nets

@@ -91,6 +91,7 @@ def test_snappy_decoder():
     assert out == bytes(ref)
 
 
+@pytest.mark.slow
 def test_fisrnet_full_import_via_cli(tmp_path):
     # End to end: params -> TF-named bundle -> cli --ckpt -> orbax -> load
     from fisr_tpu.convert import tf_import

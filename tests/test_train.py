@@ -9,6 +9,8 @@ from fisr_tpu.data.synth import synthetic_store
 from fisr_tpu.train import schedule
 from fisr_tpu.train.checkpoint import CheckpointManager, derive_epoch_batch
 from fisr_tpu.train.losses import LossWeights, temporal_loss
+import pytest
+
 from fisr_tpu.train.trainer import (adam_with_schedule, create_state,
                                     make_train_step, make_val_step)
 
@@ -103,6 +105,7 @@ def test_checkpoint_manager(tmp_path):
     assert not os.path.exists(str(tmp_path / "ck" / "step_3"))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_and_val_runs():
     store = synthetic_store(n_samples=6, h=32, w=32, seed=0, val_size=2)
     opt = adam_with_schedule(schedule.no_decay(2e-4))
@@ -128,6 +131,7 @@ def test_train_step_decreases_loss_and_val_runs():
     assert float(out["val_recnLoss"]) >= 0
 
 
+@pytest.mark.slow
 def test_fit_resumes_mid_epoch(tmp_path):
     """Mid-epoch resume parity with FISRnet.py:596-606: a checkpoint whose
     step is NOT an epoch multiple must resume at (epoch, batch) and run only

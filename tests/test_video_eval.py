@@ -4,6 +4,7 @@ import os
 import shutil
 
 import jax
+import pytest
 import numpy as np
 
 from fisr_tpu.data.png_io import read_png, write_png
@@ -71,6 +72,7 @@ def test_eval_shape_mismatch_raises(tmp_path):
         pass
 
 
+@pytest.mark.slow
 def test_pipeline_scored_end_to_end(tmp_path):
     """run_video_pipeline output scores finitely against the scene GT —
     the video phase finally has a quality gate (the reference never did)."""

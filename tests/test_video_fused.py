@@ -6,11 +6,13 @@ import numpy as np
 
 from fisr_tpu.infer.video import make_flow_fn, make_fused_video_step, make_warp_fn
 from fisr_tpu.models import fisrnet, pwcnet
+import pytest
 
 CFG = pwcnet.PWCNetConfig(pyr_lvls=4, flow_pred_lvl=2, search_range=2,
                           cost_volume_impl="xla")
 
 
+@pytest.mark.slow
 def test_fused_step_matches_staged_pipeline():
     fisr_params = fisrnet.init_params(jax.random.PRNGKey(0))
     pwc_params = pwcnet.init_params(jax.random.PRNGKey(1), CFG)
@@ -52,6 +54,7 @@ def test_flow_fn_shapes_and_direction():
     assert np.isfinite(np.asarray(flows)).all()
 
 
+@pytest.mark.slow
 def test_pair_cached_window_matches_fused_step():
     """make_pair_fn + make_fisr_window_fn (the streaming loop's pair-cached
     decomposition) == the monolithic make_fused_video_step on the same
@@ -82,6 +85,7 @@ def test_pair_cached_window_matches_fused_step():
         np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_pair_cached_loop_matches_per_window(tmp_path):
     """run_video_pipeline(fused=True) over 4 frames (2 windows, 1 shared
     pair) writes the same pixels as naive per-window fused steps."""
@@ -121,6 +125,7 @@ def test_pipeline_pair_cached_loop_matches_per_window(tmp_path):
             assert diff.max() <= 1, (fr, s, diff.max())
 
 
+@pytest.mark.slow
 def test_flow_scale_fast_mode(tmp_path):
     """--flow_scale 1 (explicit fast mode) threads through the pipeline:
     the flow stage runs at native resolution instead of the reference's
