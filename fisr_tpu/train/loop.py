@@ -87,10 +87,18 @@ def fit(
     seed: int = 0,
     resume: bool = True,
     mesh=None,
+    step_timeout_s: Optional[float] = None,
 ) -> TrainState:
     """If `mesh` is given, batches are sharded over its 'data' axis and
     params replicated — multi-chip DP with zero further changes (XLA inserts
-    the gradient psum over ICI)."""
+    the gradient psum over ICI).
+
+    `step_timeout_s` arms a utils.watchdog.Heartbeat: if no train step /
+    val batch completes within that window the process dumps all thread
+    stacks and exits with status 86, so a supervisor restarts it and this
+    same function resumes from the last per-epoch checkpoint. Size it to
+    cover first-call compile (10-70 s on the TPU relay) plus margin;
+    None (default) disarms it."""
     iters = store.num_batches(batch_size)
     schedule_fn = build_schedule(lr_type, init_lr, iters, epochs,
                                  lr_stair_decay_points, lr_decreasing_factor,
@@ -126,6 +134,10 @@ def fit(
 
         state = jax.device_put(state, replicated(mesh))
 
+    from fisr_tpu.utils.watchdog import Heartbeat
+
+    hb = (Heartbeat(step_timeout_s, name="fit").start()
+          if step_timeout_s else None)
     t_start = time.time()
     for epoch in range(start_epoch, epochs):
         sums, count = {}, 0
@@ -148,6 +160,8 @@ def fit(
             count += 1
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+            if hb is not None:
+                hb.beat()  # after float() readback = real device progress
             if idx % freq_display == 0:
                 print(f"Epoch: [{epoch:3d}], [{idx:4d}/{iters:4d}], "
                       f"time: {(time.time() - t_start) / 60:4.2f}(min), "
@@ -161,6 +175,8 @@ def fit(
             val_count += 1
             for k, v in vm.items():
                 val_sums[k] = val_sums.get(k, 0.0) + float(v)
+            if hb is not None:
+                hb.beat()
         val_means = {k: v / max(val_count, 1) for k, v in val_sums.items()}
         print(f"######### Validation epoch [{epoch}/{epochs}]: "
               f"val_PSNR {val_means.get('val_PSNR', float('nan')):.3f} dB, "
@@ -195,4 +211,6 @@ def fit(
                  {"params": state.params, "opt_state": state.opt_state,
                   "step": state.step},
                  metric=val_means.get("val_recnLoss"))
+    if hb is not None:
+        hb.stop()
     return state

@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--interrupt", type=str, default="50,600",
                     help="'EPOCH,BATCH' of the simulated crash+resume "
                          "assertion ('none' disables)")
+    ap.add_argument("--step_timeout_s", type=float, default=300.0,
+                    help="watchdog: abort (exit 86) if no fenced step/val "
+                         "completes within this window, so a supervisor "
+                         "restarts with --resume (0 disables). Added after "
+                         "a relay RPC wedged this run silently for 49 min.")
     args = ap.parse_args()
     global INTERRUPT
     if args.interrupt == "none":
@@ -219,6 +224,13 @@ def main():
     # Only disarm the simulated crash if the run already passed that point.
     interrupted_once = interrupt_verified or (
         args.resume and (start_epoch, start_batch) >= (INTERRUPT or (0, 0)))
+    from fisr_tpu.utils.watchdog import Heartbeat
+
+    # Beats land only on FENCED readbacks (every 200 steps ≈ 25 s, val,
+    # epoch save) — a wedged relay stops those first. 300 s default covers
+    # the slowest legitimate gap (first-epoch compile ≈ 70 s) with margin.
+    hb = (Heartbeat(args.step_timeout_s, name="refsched").start()
+          if args.step_timeout_s > 0 else None)
     t_run = time.time()
     step_times = []
     ep = start_epoch
@@ -236,6 +248,8 @@ def main():
             if s % 200 == 100:
                 # fence once in a while for an honest step-time sample
                 lv = float(loss)
+                if hb is not None:
+                    hb.beat()
                 step_times.append(time.time() - t1)
                 print(f"  epoch {ep:3d} step {s:4d}/{iters} "
                       f"loss {lv:.4f}", flush=True)
@@ -270,6 +284,8 @@ def main():
                                 "opt_state": state.opt_state,
                                 "step": state.step})
         mgr_best.save(gstep, {"params": state.params}, metric=val_psnr)
+        if hb is not None:
+            hb.beat()
         curve.append({"epoch": ep, "step": gstep, "loss": float(loss),
                       "val_psnr": val_psnr,
                       "wall_s": round(time.time() - t_run, 1)})
@@ -290,6 +306,8 @@ def main():
                        "best_ledger": mgr_best._read_ledger()["entries"]},
                       f, indent=1)
         ep += 1
+    if hb is not None:
+        hb.stop()
     print(f"[refsched] done: {iters * args.epochs} steps, "
           f"final val_PSNR {curve[-1]['val_psnr']:.3f} dB, "
           f"total wall {(time.time()-t_run)/60:.1f} min", flush=True)

@@ -156,7 +156,10 @@ def test_fit_resumes_mid_epoch(tmp_path):
     CheckpointManager(ckpt).save(iters + 2, {"params": mid.params,
                                              "opt_state": mid.opt_state,
                                              "step": mid.step})
+    # step_timeout_s arms the utils.watchdog heartbeat through a real run
+    # (generous window: this slow lane shares the host with compiles)
     resumed = fit(store, ckpt_dir=ckpt, epochs=2, batch_size=2,
-                  val_batch_size=2, lr_type="no_decay", freq_display=100)
+                  val_batch_size=2, lr_type="no_decay", freq_display=100,
+                  step_timeout_s=600)
     # epoch 1 had 2 batches left: 6 + 2 = 8 = the full 2-epoch schedule
     assert int(resumed.step) == 2 * iters
