@@ -75,6 +75,13 @@ def parse_args(argv=None):
     p.add_argument("--exp_num", type=int, default=1)
     p.add_argument("--epoch", type=int, default=100)
     p.add_argument("--freq_display", type=int, default=100)
+    p.add_argument("--step_timeout_s", type=float, default=0.0,
+                   help="extension (no reference analog): arm the "
+                        "utils.watchdog heartbeat — exit 86 if no train/val "
+                        "step completes within this window, so a supervisor "
+                        "(python -m fisr_tpu.utils.supervisor) restarts and "
+                        "training resumes from the last checkpoint. 0 = off. "
+                        "Size it past first-compile (10-70 s on the relay).")
     p.add_argument("--init_lr", type=float, default=1e-4)
     p.add_argument("--lr_type", type=str, default="stair_decay",
                    choices=["linear_decay", "stair_decay", "no_decay"])
@@ -265,7 +272,8 @@ def run_train(args):
         lr_decreasing_factor=args.lr_decreasing_factor,
         lr_linear_decay_point=args.lr_linear_decay_point,
         loss_weights=weights, freq_display=args.freq_display,
-        policy=_policy(args))
+        policy=_policy(args),
+        step_timeout_s=args.step_timeout_s or None)
 
 
 def run_test(args):
