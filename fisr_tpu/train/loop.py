@@ -139,78 +139,83 @@ def fit(
     hb = (Heartbeat(step_timeout_s, name="fit").start()
           if step_timeout_s else None)
     t_start = time.time()
-    for epoch in range(start_epoch, epochs):
-        sums, count = {}, 0
-        batches = store.batches(batch_size, epoch_seed=seed + epoch)
-        # mid-epoch resume (FISRnet.py:596-606): the epoch permutation is
-        # epoch-seeded, so skipping the first `start_batch` draws continues
-        # the interrupted epoch on exactly the batches it had left
-        skip = start_batch if epoch == start_epoch else 0
-        if skip:
-            batches = itertools.islice(batches, skip, None)
-        if mesh is not None:
-            from fisr_tpu.core.mesh import data_sharding
+    # finally: even an escaping exception (OOM, bad batch) must disarm
+    # the watchdog, or the armed monitor os._exit(86)s a process that is
+    # no longer hung and masks the real error (ADVICE r4).
+    try:
+        for epoch in range(start_epoch, epochs):
+            sums, count = {}, 0
+            batches = store.batches(batch_size, epoch_seed=seed + epoch)
+            # mid-epoch resume (FISRnet.py:596-606): the epoch permutation is
+            # epoch-seeded, so skipping the first `start_batch` draws continues
+            # the interrupted epoch on exactly the batches it had left
+            skip = start_batch if epoch == start_epoch else 0
+            if skip:
+                batches = itertools.islice(batches, skip, None)
+            if mesh is not None:
+                from fisr_tpu.core.mesh import data_sharding
 
-            batches = prefetch_to_device(
-                batches, sharding=lambda nd: data_sharding(mesh, nd))
-        else:
-            batches = prefetch_to_device(batches)
-        for idx, batch in enumerate(batches, start=skip):
-            state, m = step_fn(state, batch)
-            count += 1
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            if hb is not None:
-                hb.beat()  # after float() readback = real device progress
-            if idx % freq_display == 0:
-                print(f"Epoch: [{epoch:3d}], [{idx:4d}/{iters:4d}], "
-                      f"time: {(time.time() - t_start) / 60:4.2f}(min), "
-                      f"train_PSNR: {float(m['train_PSNR']):.3f}, "
-                      f"total_loss: {float(m['total_loss']):.6f}", flush=True)
-        epoch_means = {k: v / max(count, 1) for k, v in sums.items()}
+                batches = prefetch_to_device(
+                    batches, sharding=lambda nd: data_sharding(mesh, nd))
+            else:
+                batches = prefetch_to_device(batches)
+            for idx, batch in enumerate(batches, start=skip):
+                state, m = step_fn(state, batch)
+                count += 1
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                if hb is not None:
+                    hb.beat()  # after float() readback = real device progress
+                if idx % freq_display == 0:
+                    print(f"Epoch: [{epoch:3d}], [{idx:4d}/{iters:4d}], "
+                          f"time: {(time.time() - t_start) / 60:4.2f}(min), "
+                          f"train_PSNR: {float(m['train_PSNR']):.3f}, "
+                          f"total_loss: {float(m['total_loss']):.6f}", flush=True)
+            epoch_means = {k: v / max(count, 1) for k, v in sums.items()}
 
-        val_sums, val_count = {}, 0
-        for vb in store.val_batches(val_batch_size):
-            vm = val_fn(state.params, {k: jnp.asarray(v) for k, v in vb.items()})
-            val_count += 1
-            for k, v in vm.items():
-                val_sums[k] = val_sums.get(k, 0.0) + float(v)
-            if hb is not None:
-                hb.beat()
-        val_means = {k: v / max(val_count, 1) for k, v in val_sums.items()}
-        print(f"######### Validation epoch [{epoch}/{epochs}]: "
-              f"val_PSNR {val_means.get('val_PSNR', float('nan')):.3f} dB, "
-              f"recnLoss {val_means.get('val_recnLoss', float('nan')):.6f} #########",
-              flush=True)
+            val_sums, val_count = {}, 0
+            for vb in store.val_batches(val_batch_size):
+                vm = val_fn(state.params, {k: jnp.asarray(v) for k, v in vb.items()})
+                val_count += 1
+                for k, v in vm.items():
+                    val_sums[k] = val_sums.get(k, 0.0) + float(v)
+                if hb is not None:
+                    hb.beat()
+            val_means = {k: v / max(val_count, 1) for k, v in val_sums.items()}
+            print(f"######### Validation epoch [{epoch}/{epochs}]: "
+                  f"val_PSNR {val_means.get('val_PSNR', float('nan')):.3f} dB, "
+                  f"recnLoss {val_means.get('val_recnLoss', float('nan')):.6f} #########",
+                  flush=True)
 
-        if metrics_path:
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps({"epoch": epoch, "step": int(state.step),
-                                    **epoch_means, **val_means}) + "\n")
-        if tb is not None:
-            tb.log_scalars({**epoch_means, **val_means}, int(state.step))
-            # image summaries (YUV, like FISRnet.py:555-565): first val
-            # sample's merged prediction vs GT
-            try:
-                from fisr_tpu.ops.seq import groups_to_overlap, split_seq_dim
-                from fisr_tpu.train.trainer import forward_windows
+            if metrics_path:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "step": int(state.step),
+                                        **epoch_means, **val_means}) + "\n")
+            if tb is not None:
+                tb.log_scalars({**epoch_means, **val_means}, int(state.step))
+                # image summaries (YUV, like FISRnet.py:555-565): first val
+                # sample's merged prediction vs GT
+                try:
+                    from fisr_tpu.ops.seq import groups_to_overlap, split_seq_dim
+                    from fisr_tpu.train.trainer import forward_windows
 
-                vb = next(store.val_batches(1))
-                vb = {k: jnp.asarray(v) for k, v in vb.items()}
-                groups, _ = forward_windows(state.params, vb, policy,
-                                            with_ss2=False)
-                pred = groups_to_overlap(groups[0])[0, 3]
-                gt = split_seq_dim(vb["label"])[0, 3]
-                to_u8 = lambda a: np.uint8(np.clip(np.asarray(a, np.float32),
-                                                   0, 1) * 255)
-                tb.log_image("Seq3_Pred", to_u8(pred), int(state.step))
-                tb.log_image("Seq3_GT", to_u8(gt), int(state.step))
-            except StopIteration:
-                pass
-        mgr.save(int(state.step),
-                 {"params": state.params, "opt_state": state.opt_state,
-                  "step": state.step},
-                 metric=val_means.get("val_recnLoss"))
-    if hb is not None:
-        hb.stop()
+                    vb = next(store.val_batches(1))
+                    vb = {k: jnp.asarray(v) for k, v in vb.items()}
+                    groups, _ = forward_windows(state.params, vb, policy,
+                                                with_ss2=False)
+                    pred = groups_to_overlap(groups[0])[0, 3]
+                    gt = split_seq_dim(vb["label"])[0, 3]
+                    to_u8 = lambda a: np.uint8(np.clip(np.asarray(a, np.float32),
+                                                       0, 1) * 255)
+                    tb.log_image("Seq3_Pred", to_u8(pred), int(state.step))
+                    tb.log_image("Seq3_GT", to_u8(gt), int(state.step))
+                except StopIteration:
+                    pass
+            mgr.save(int(state.step),
+                     {"params": state.params, "opt_state": state.opt_state,
+                      "step": state.step},
+                     metric=val_means.get("val_recnLoss"))
+    finally:
+        if hb is not None:
+            hb.stop()
     return state

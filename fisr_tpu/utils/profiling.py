@@ -53,10 +53,13 @@ def assert_fits_hbm(fn_or_compiled, args=(), what: str = "program",
     (/root/reference/main.py:89-92) failure mode: there, a too-large frame
     simply OOMs inside sess.run.
     """
+    # Compile OUTSIDE the try: a genuine trace/compile error must propagate
+    # here (where the caller's context is) rather than be swallowed and
+    # resurface later at execution (ADVICE r4). Only the memory-analysis
+    # INTROSPECTION may no-op when a backend doesn't expose it.
+    compiled = (fn_or_compiled if hasattr(fn_or_compiled, "memory_analysis")
+                else fn_or_compiled.lower(*args).compile())
     try:
-        compiled = (fn_or_compiled if hasattr(fn_or_compiled,
-                                              "memory_analysis")
-                    else fn_or_compiled.lower(*args).compile())
         ma = compiled.memory_analysis()
         need = int(ma.temp_size_in_bytes + ma.argument_size_in_bytes
                    + ma.output_size_in_bytes + ma.generated_code_size_in_bytes)

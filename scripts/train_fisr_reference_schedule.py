@@ -234,80 +234,85 @@ def main():
     t_run = time.time()
     step_times = []
     ep = start_epoch
-    while ep < args.epochs:
-        rng = np.random.default_rng(12345 + ep)  # epoch-seeded permutation
-        perm = rng.permutation(n_train)
-        first = start_batch if ep == start_epoch else 0
-        loss = None
-        t_ep = time.time()
-        for s in range(first, iters):
-            idx = jnp.asarray(perm[s * args.batch : (s + 1) * args.batch])
-            t1 = time.time()
-            state, metrics = step(state, gather_j(idx))
-            loss = metrics["total_loss"]
-            if s % 200 == 100:
-                # fence once in a while for an honest step-time sample
-                lv = float(loss)
-                if hb is not None:
-                    hb.beat()
-                step_times.append(time.time() - t1)
-                print(f"  epoch {ep:3d} step {s:4d}/{iters} "
-                      f"loss {lv:.4f}", flush=True)
-            if (INTERRUPT and not interrupted_once
-                    and (ep, s + 1) == INTERRUPT):
-                # ---- simulated crash + resume (the receipt's assertion) ----
-                gstep = int(jax.device_get(state.step))
-                assert gstep == ep * iters + s + 1, (gstep, ep, s)
-                mgr_latest.save(gstep, {"params": state.params,
-                                        "opt_state": state.opt_state,
-                                        "step": state.step})
-                print(f"[refsched] INTERRUPT at step {gstep}: discarding "
-                      "live state, restoring from checkpoint", flush=True)
-                fresh = make_fresh_state()
-                tree = mgr_latest.restore(item={"params": fresh.params,
-                                                "opt_state": fresh.opt_state,
-                                                "step": fresh.step})
-                state = TrainState(tree["params"], tree["opt_state"],
-                                   tree["step"])
-                re_e, re_b = derive_epoch_batch(int(state.step), iters)
-                assert (re_e, re_b) == INTERRUPT, (
-                    f"mid-epoch resume derivation broken: {(re_e, re_b)} "
-                    f"!= {INTERRUPT}")
-                print(f"[refsched] RESUME OK: step {int(state.step)} -> "
-                      f"epoch {re_e}, batch {re_b} (mid-epoch, same "
-                      "permutation continues)", flush=True)
-                interrupted_once = True
-                interrupt_verified = True
-        val_psnr = run_val(state.params)
-        gstep = int(jax.device_get(state.step))
-        mgr_latest.save(gstep, {"params": state.params,
-                                "opt_state": state.opt_state,
-                                "step": state.step})
-        mgr_best.save(gstep, {"params": state.params}, metric=val_psnr)
+    # finally: an escaping exception must disarm the watchdog, or the
+    # armed monitor exit-86s a no-longer-hung process and the supervisor
+    # restarts a deterministic failure (ADVICE r4).
+    try:
+        while ep < args.epochs:
+            rng = np.random.default_rng(12345 + ep)  # epoch-seeded permutation
+            perm = rng.permutation(n_train)
+            first = start_batch if ep == start_epoch else 0
+            loss = None
+            t_ep = time.time()
+            for s in range(first, iters):
+                idx = jnp.asarray(perm[s * args.batch : (s + 1) * args.batch])
+                t1 = time.time()
+                state, metrics = step(state, gather_j(idx))
+                loss = metrics["total_loss"]
+                if s % 200 == 100:
+                    # fence once in a while for an honest step-time sample
+                    lv = float(loss)
+                    if hb is not None:
+                        hb.beat()
+                    step_times.append(time.time() - t1)
+                    print(f"  epoch {ep:3d} step {s:4d}/{iters} "
+                          f"loss {lv:.4f}", flush=True)
+                if (INTERRUPT and not interrupted_once
+                        and (ep, s + 1) == INTERRUPT):
+                    # ---- simulated crash + resume (the receipt's assertion) ----
+                    gstep = int(jax.device_get(state.step))
+                    assert gstep == ep * iters + s + 1, (gstep, ep, s)
+                    mgr_latest.save(gstep, {"params": state.params,
+                                            "opt_state": state.opt_state,
+                                            "step": state.step})
+                    print(f"[refsched] INTERRUPT at step {gstep}: discarding "
+                          "live state, restoring from checkpoint", flush=True)
+                    fresh = make_fresh_state()
+                    tree = mgr_latest.restore(item={"params": fresh.params,
+                                                    "opt_state": fresh.opt_state,
+                                                    "step": fresh.step})
+                    state = TrainState(tree["params"], tree["opt_state"],
+                                       tree["step"])
+                    re_e, re_b = derive_epoch_batch(int(state.step), iters)
+                    assert (re_e, re_b) == INTERRUPT, (
+                        f"mid-epoch resume derivation broken: {(re_e, re_b)} "
+                        f"!= {INTERRUPT}")
+                    print(f"[refsched] RESUME OK: step {int(state.step)} -> "
+                          f"epoch {re_e}, batch {re_b} (mid-epoch, same "
+                          "permutation continues)", flush=True)
+                    interrupted_once = True
+                    interrupt_verified = True
+            val_psnr = run_val(state.params)
+            gstep = int(jax.device_get(state.step))
+            mgr_latest.save(gstep, {"params": state.params,
+                                    "opt_state": state.opt_state,
+                                    "step": state.step})
+            mgr_best.save(gstep, {"params": state.params}, metric=val_psnr)
+            if hb is not None:
+                hb.beat()
+            curve.append({"epoch": ep, "step": gstep, "loss": float(loss),
+                          "val_psnr": val_psnr,
+                          "wall_s": round(time.time() - t_run, 1)})
+            print(f"epoch {ep + 1:3d}/{args.epochs}  val_PSNR {val_psnr:7.3f} dB"
+                  f"  loss {float(loss):.4f}  epoch_wall {time.time()-t_ep:.0f} s",
+                  flush=True)
+            with open(args.out_json, "w") as f:
+                json.dump({"schedule": {"n_total": args.n_total,
+                                        "val_size": args.val_size,
+                                        "batch": args.batch, "iters": iters,
+                                        "epochs": args.epochs,
+                                        "stair_decay_epochs": list(DECAY_EPOCHS),
+                                        "bank": nb},
+                           "interrupt_resume": {
+                               "at": list(INTERRUPT) if INTERRUPT else None,
+                               "verified": interrupt_verified},
+                           "curve": curve,
+                           "best_ledger": mgr_best._read_ledger()["entries"]},
+                          f, indent=1)
+            ep += 1
+    finally:
         if hb is not None:
-            hb.beat()
-        curve.append({"epoch": ep, "step": gstep, "loss": float(loss),
-                      "val_psnr": val_psnr,
-                      "wall_s": round(time.time() - t_run, 1)})
-        print(f"epoch {ep + 1:3d}/{args.epochs}  val_PSNR {val_psnr:7.3f} dB"
-              f"  loss {float(loss):.4f}  epoch_wall {time.time()-t_ep:.0f} s",
-              flush=True)
-        with open(args.out_json, "w") as f:
-            json.dump({"schedule": {"n_total": args.n_total,
-                                    "val_size": args.val_size,
-                                    "batch": args.batch, "iters": iters,
-                                    "epochs": args.epochs,
-                                    "stair_decay_epochs": list(DECAY_EPOCHS),
-                                    "bank": nb},
-                       "interrupt_resume": {
-                           "at": list(INTERRUPT) if INTERRUPT else None,
-                           "verified": interrupt_verified},
-                       "curve": curve,
-                       "best_ledger": mgr_best._read_ledger()["entries"]},
-                      f, indent=1)
-        ep += 1
-    if hb is not None:
-        hb.stop()
+            hb.stop()
     print(f"[refsched] done: {iters * args.epochs} steps, "
           f"final val_PSNR {curve[-1]['val_psnr']:.3f} dB, "
           f"total wall {(time.time()-t_run)/60:.1f} min", flush=True)

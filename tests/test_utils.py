@@ -107,5 +107,16 @@ def test_assert_fits_hbm_guardrail():
     with pytest.raises(RuntimeError, match="HBM"):
         assert_fits_hbm(compiled, what="compiled form", limit_bytes=1000)
 
-    # unknown limit + no introspection fallback -> None, never a crash
-    assert assert_fits_hbm(object(), what="bogus", limit_bytes=None) is None
+    # backend without memory_analysis introspection -> None, never a crash
+    class _NoIntrospection:
+        def memory_analysis(self):
+            raise NotImplementedError("backend exposes no memory analysis")
+
+    assert assert_fits_hbm(_NoIntrospection(), what="bare",
+                           limit_bytes=None) is None
+
+    # but a genuine trace/compile error must PROPAGATE (ADVICE r4), not be
+    # swallowed to resurface later at execution with less context
+    bad = jax.jit(lambda x: x @ jnp.ones((3, 3)))  # shape mismatch at trace
+    with pytest.raises(Exception, match="dot|shape|rank|size"):
+        assert_fits_hbm(bad, (x,), what="mis-shaped")
