@@ -54,8 +54,16 @@ SSIM_HW = (63, 97)  # non-multiple of the 7px tile on purpose (crop path)
 def capture_resize(out_dir):
     import tensorflow as tf
 
-    assert tf.__version__.startswith("1."), (
-        f"need TF1.x (reference uses 1.13), got {tf.__version__}")
+    version = tf.__version__
+    if not version.startswith("1."):
+        # TF2's compat.v1 dispatches resize_images to the SAME legacy
+        # ResizeBilinear/ResizeBicubic kernels (align_corners=False,
+        # half_pixel_centers=False) the reference's 1.13 ran; graph mode
+        # for call-form parity. The recorded version string keeps the
+        # provenance honest.
+        tf = tf.compat.v1
+        tf.disable_eager_execution()
+        version += " (compat.v1 legacy kernels)"
     method_ids = {
         "bilinear": tf.image.ResizeMethod.BILINEAR,
         "bicubic": tf.image.ResizeMethod.BICUBIC,
@@ -73,7 +81,7 @@ def capture_resize(out_dir):
                 blobs[f"out_{i}_{method}"] = np.asarray(y, np.float32)
     blobs["cases"] = np.asarray(
         [[ih, iw, oh, ow] for (ih, iw), (oh, ow) in RESIZE_CASES], np.int32)
-    blobs["tf_version"] = np.bytes_(tf.__version__.encode())
+    blobs["tf_version"] = np.bytes_(version.encode())
     path = os.path.join(out_dir, "tf1_resize.npz")
     np.savez_compressed(path, **blobs)
     print(f"wrote {path} ({len(RESIZE_CASES)} cases x {RESIZE_METHODS})")
