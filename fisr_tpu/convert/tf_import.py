@@ -2,15 +2,18 @@
 
 The reference ships its weights as TF1 checkpoints (FISRnet-122000 for
 FISRnet, pwcnet.ckpt-595000 for the flow model — neither is bundled in the
-repo; README.md:62-64,102 point at downloads). Conversion is a pure rename:
+repo; README.md:62-64,102 point at downloads). Conversion is a PURE rename:
 our pytrees deliberately mirror the TF variable scopes (models/fisrnet.py,
-models/pwcnet.py), conv kernels are HWIO on both sides, and the only layout
-fix-up is TF's conv2d_transpose kernels being [k, k, OUT, IN].
+models/pwcnet.py), conv kernels are HWIO on both sides, and deconv kernels
+keep TF's conv2d_transpose [k, k, OUT, IN] layout (models/pwcnet._deconv
+consumes it natively).
 
 Input is a flat `{tf_variable_name: np.ndarray}` dict. Producing that dict
-from a `.ckpt` requires a TF installation (`tf.train.load_checkpoint`; this
-image ships none) or any TensorBundle reader — the mapping below is the
-part that must be exact, and is round-trip tested.
+from a `.ckpt` requires a TF installation (`tf.train.load_checkpoint`) or
+any TensorBundle reader (convert/tensor_bundle.py, no TF needed) — the
+mapping below is the part that must be exact. It is round-trip tested AND
+pinned against a real tf.train.Saver checkpoint of the reference's own
+graph (tests/test_tf_oracle.py).
 
 FISRnet variable grammar (FISRnet.py:73-173 + ops.py):
     FISRnet/level_{1,2,3}/enc/level_{0,1,2}/conv/0/{w,b}
@@ -115,19 +118,17 @@ def _set_path(tree: dict, path: tuple, value) -> None:
     node[path[-1]] = value
 
 
-def _convert(tf_vars: Dict[str, np.ndarray], name_map: Dict[str, tuple],
-             transpose_deconv: bool = False) -> dict:
+def _convert(tf_vars: Dict[str, np.ndarray], name_map: Dict[str, tuple]) -> dict:
     params: dict = {}
     missing = [k for k in name_map if k not in tf_vars]
     if missing:
         raise KeyError(f"{len(missing)} variables missing from the checkpoint, "
                        f"e.g. {missing[:3]}")
     for tf_name, path in name_map.items():
-        arr = np.asarray(tf_vars[tf_name], np.float32)
-        if transpose_deconv and path[0] == "up" and path[-1] == "w":
-            # TF conv2d_transpose kernels are [k, k, OUT, IN] -> HWIO
-            arr = np.transpose(arr, (0, 1, 3, 2))
-        _set_path(params, path, arr)
+        # pure rename, no layout fix-ups: conv kernels are HWIO on both
+        # sides, and deconv kernels keep TF's [k, k, OUT, IN] layout (our
+        # _deconv consumes it natively via transpose_kernel=True)
+        _set_path(params, path, np.asarray(tf_vars[tf_name], np.float32))
     return params
 
 
@@ -187,8 +188,7 @@ def load_tf_checkpoint(prefix: str, model: str, verify_crc: bool = False,
 
 def convert_pwcnet(tf_vars: Dict[str, np.ndarray], pyr_lvls: int = 6,
                    flow_pred_lvl: int = 2, use_res_cx: bool = True) -> dict:
-    return _convert(tf_vars, pwcnet_name_map(pyr_lvls, flow_pred_lvl, use_res_cx),
-                    transpose_deconv=True)
+    return _convert(tf_vars, pwcnet_name_map(pyr_lvls, flow_pred_lvl, use_res_cx))
 
 
 def _get_path(tree, path):
@@ -205,10 +205,5 @@ def export_fisrnet(params: dict) -> Dict[str, np.ndarray]:
 
 
 def export_pwcnet(params: dict, **kw) -> Dict[str, np.ndarray]:
-    out = {}
-    for name, path in pwcnet_name_map(**kw).items():
-        arr = np.asarray(_get_path(params, path))
-        if path[0] == "up" and path[-1] == "w":
-            arr = np.transpose(arr, (0, 1, 3, 2))
-        out[name] = arr
-    return out
+    return {name: np.asarray(_get_path(params, path))
+            for name, path in pwcnet_name_map(**kw).items()}

@@ -78,19 +78,29 @@ def _leaky(x):
 
 
 def _init_deconv(rng, c_in: int, c_out: int = 2) -> Params:
-    w = jax.nn.initializers.glorot_normal(in_axis=(0, 1, 2), out_axis=3)(
-        rng, (4, 4, c_in, c_out), jnp.float32
+    # kernel kept in TF's native conv2d_transpose layout [k, k, OUT, IN] so
+    # the checkpoint converter is a pure rename (no layout fix-up)
+    w = jax.nn.initializers.glorot_normal(in_axis=(0, 1, 3), out_axis=2)(
+        rng, (4, 4, c_out, c_in), jnp.float32
     )
     return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
 
 
 def _deconv(p: Params, x: jnp.ndarray, policy: Policy) -> jnp.ndarray:
     """4x4 stride-2 SAME transpose conv (learned x2 upsample,
-    model_pwcnet.py:1180-1221)."""
+    model_pwcnet.py:1180-1221).
+
+    `transpose_kernel=True` + the TF-native [k, k, out, in] kernel layout
+    is the EXACT semantics of tf.nn.conv2d_transpose (gradient-of-conv:
+    spatially mirrored taps + swapped channel axes) — verified bit-equal
+    against the reference's own graph in tests/test_tf_oracle.py. The
+    previous form (no kernel transpose) was a different, self-consistent
+    operator: fine for our own training, wrong for released TF weights."""
     out = jax.lax.conv_transpose(
         policy.cast(x), p["w"].astype(policy.compute_dtype),
         strides=(2, 2), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
     )
     return out + p["b"].astype(policy.compute_dtype)
 
@@ -282,7 +292,16 @@ def apply_pyramids(params: Params, c1, c2,
             x = corr
         else:
             scaler = jnp.asarray(20.0 / 2**lvl, policy.compute_dtype)
-            warped = dense_image_warp(c2[lvl], up_flow * scaler)
+            # tfoptflow quirk, required for released-weight parity: the
+            # upstream core_warp is tf.contrib.image.dense_image_warp, which
+            # SUBTRACTS the flow and reads it (dy, dx) — while the estimator
+            # is supervised in (u, v). The trained network learns whatever
+            # field makes ITS OWN warp consistent, so we must reproduce the
+            # exact quirk: our warp ADDS (u, v), hence pass -flip(flow).
+            # Pinned against the reference's verbatim nn() graph in
+            # tests/test_tf_oracle.py::test_pwc_forward_matches_reference.
+            warped = dense_image_warp(c2[lvl],
+                                      -jnp.flip(up_flow, -1) * scaler)
             corr = _leaky(cv(c1[lvl], warped))
             x = jnp.concatenate([corr, c1[lvl], up_flow, up_feat], axis=-1)
 

@@ -48,15 +48,18 @@ def test_fisrnet_roundtrip():
     assert out[2].shape == (1, 64, 64, 9)
 
 
-def test_pwcnet_roundtrip_with_deconv_transpose():
+def test_pwcnet_roundtrip_deconv_layout():
     params = pwcnet.init_params(jax.random.PRNGKey(2))
     tf_vars = tf_import.export_pwcnet(params)
-    # exported deconv kernels must be in TF's [k,k,OUT,IN] layout
-    w_ours = np.asarray(params["up"]["level_6"]["flow"]["w"])
-    w_tf = tf_vars["pwcnet/upsample/up_flow6/kernel"]
-    np.testing.assert_array_equal(w_tf, np.transpose(w_ours, (0, 1, 3, 2)))
+    # deconv kernels live in TF's [k, k, OUT, IN] layout on BOTH sides now
+    # (pure rename; _deconv consumes it via transpose_kernel=True) — the
+    # up_feat6 kernel's distinct in/out sizes pin the orientation
+    w_ours = np.asarray(params["up"]["level_6"]["feat"]["w"])
+    assert w_ours.shape[2] == 2 and w_ours.shape[3] > 2  # [4, 4, OUT=2, IN]
+    w_tf = tf_vars["pwcnet/upsample/up_feat6/kernel"]
+    np.testing.assert_array_equal(w_tf, w_ours)
     back = tf_import.convert_pwcnet(tf_vars)
-    np.testing.assert_array_equal(back["up"]["level_6"]["flow"]["w"], w_ours)
+    np.testing.assert_array_equal(back["up"]["level_6"]["feat"]["w"], w_ours)
 
 
 def test_missing_variable_raises():

@@ -18,8 +18,12 @@ GOLDEN = {
     "fisr_p3_std": 44.83644485473633,
     "fisr_p1_mean": -0.12063111364841461,
     "fisr_p2_mean": -1.1426401138305664,
-    "pwc_flow_mean": -0.7857347726821899,
-    "pwc_flow_std": 1.1403286457061768,
+    # pwc values re-recorded round 5: the tf_oracle capture exposed two
+    # parity bugs (warp convention, deconv transpose semantics) whose fixes
+    # change the forward math; the new numbers are pinned against the
+    # reference's own graph by tests/test_tf_oracle.py
+    "pwc_flow_mean": -0.7604550719261169,
+    "pwc_flow_std": 1.0680906772613525,
     # BIT-EXACT f32 CPU output slices (recorded round 3): unlike the
     # statistics above, these catch compensating-error changes — e.g. a
     # sign-symmetric perturbation that leaves mean/std intact. Recorded
@@ -36,9 +40,9 @@ GOLDEN = {
     "fisr_p1_slice": [0.044161066, 0.0629617, 0.3382005, 0.24491823,
                       1.40632, -0.33657444, -0.7033371, -0.77859485,
                       -0.082738, -1.1199441, 2.6228442, -0.37336063],
-    "pwc_flow_slice": [-2.7303617, -2.118375, -2.442496, -2.226571,
-                       -2.1546304, -2.334767, -2.1503491, -2.5062752,
-                       -1.8434064, -2.6788847, -1.5364639, -2.8514943],
+    "pwc_flow_slice": [-2.1835575, -2.23715, -1.9427069, -2.37289,
+                       -1.7018564, -2.5086303, -1.869556, -2.5174923,
+                       -1.5883987, -2.6557326, -1.3072416, -2.7939727],
 }
 
 
