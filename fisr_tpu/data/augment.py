@@ -92,17 +92,18 @@ def augment_pair(x: np.ndarray, y: np.ndarray, opts: AugmentOptions,
         tx = int(rng.uniform(-opts.translate_frac, opts.translate_frac) * w)
         ty = int(rng.uniform(-opts.translate_frac, opts.translate_frac) * h)
         if tx or ty:
-            # shift frame 2 by (tx, ty); flow gains the same offset
-            x2 = np.roll(np.roll(x[1], ty, axis=0), tx, axis=1)
-            # replicate rolled-in borders
-            if ty > 0:
-                x2[:ty] = x2[ty : ty + 1]
-            elif ty < 0:
-                x2[ty:] = x2[ty - 1 : ty]
-            if tx > 0:
-                x2[:, :tx] = x2[:, tx : tx + 1]
-            elif tx < 0:
-                x2[:, tx:] = x2[:, tx - 1 : tx]
+            # shift frame 2 by (tx, ty) with ZERO fill at the exposed
+            # borders — the exact semantics of the reference's
+            # cv2.warpAffine(translation) call (augment.py:108-111, default
+            # BORDER_CONSTANT 0); flow gains the same offset. Pinned
+            # against the reference's own Augmenter in
+            # tests/test_augment_oracle.py.
+            x2 = np.zeros_like(x[1])
+            ys = slice(max(ty, 0), h + min(ty, 0))
+            xs = slice(max(tx, 0), w + min(tx, 0))
+            ys_src = slice(max(-ty, 0), h + min(-ty, 0))
+            xs_src = slice(max(-tx, 0), w + min(-tx, 0))
+            x2[ys, xs] = x[1][ys_src, xs_src]
             x[1] = x2
             y = y + np.array([tx, ty], y.dtype)
     if rng.uniform() < opts.scale_prob:
