@@ -160,7 +160,12 @@ def pwc_fit(dataset, ckpt_dir: str, steps: int, batch_size: int = 8,
     schedule_fn = schedule_fn or sched.multisteps(
         [1e-4, 5e-5, 2.5e-5, 1.25e-5, 6.25e-6, 3.125e-6],
         [400000, 600000, 800000, 1000000, 1200000])
-    opt = optax.adam(schedule_fn)
+    # tf.train.AdamOptimizer(lr, epsilon=1e-8) parity — the reference's
+    # non-mixed-precision path (model_pwcnet.py:266-270); exact eps
+    # placement via trainer.tf_adam (see tests/test_optimizer_oracle.py)
+    from fisr_tpu.train.trainer import tf_adam
+
+    opt = tf_adam(schedule_fn)
     state = create_pwc_state(jax.random.PRNGKey(seed), opt, cfg)
     step_fn = make_pwc_train_step(opt, cfg, policy, loss_mode)
     eval_fn = make_pwc_eval_step(cfg, policy)

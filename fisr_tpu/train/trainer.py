@@ -151,6 +151,57 @@ def make_val_step(policy: Policy = F32):
     return jax.jit(val_fn)
 
 
+def tf_scale_by_adam(b1: float = 0.9, b2: float = 0.999,
+                     eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with tf.train.AdamOptimizer semantics (FISRnet.py:489-491,
+    model_pwcnet.py:266-270) — NOT optax.scale_by_adam.
+
+    TF1 applies  lr * sqrt(1-b2^t)/(1-b1^t) * m_t / (sqrt(v_t) + eps):
+    eps is added to the UNcorrected sqrt(v), so the effective eps on the
+    bias-corrected quotient is eps*sqrt(1-b2^t) — 31.6x smaller than
+    optax.adam's at t=1, converging to eps as t grows. Negligible for
+    well-scaled gradients (|g| >> eps) but visible on near-zero-gradient
+    leaves; the optimizer-step oracle (tests/test_optimizer_oracle.py)
+    pins this form against the reference's own AdamOptimizer.
+
+    State is optax.ScaleByAdamState (same pytree as optax.scale_by_adam)
+    so existing checkpointed opt_states keep loading.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        # TF keeps b1^t/b2^t as f32 accumulator variables (beta*_power)
+        corr = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        scaled = jax.tree.map(
+            lambda m, v: corr * m / (jnp.sqrt(v) + eps), mu, nu)
+        return scaled, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def tf_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+            eps: float = 1e-8) -> optax.GradientTransformation:
+    """tf.train.AdamOptimizer(lr) — see tf_scale_by_adam. `learning_rate`
+    may be a float or a schedule over the pre-increment step count
+    (matching TF's lr-tensor-on-global_step evaluation order)."""
+    return optax.chain(tf_scale_by_adam(b1, b2, eps),
+                       optax.scale_by_learning_rate(learning_rate))
+
+
 def adam_with_schedule(schedule_fn) -> optax.GradientTransformation:
-    """tf.train.AdamOptimizer parity (defaults b1=.9, b2=.999, eps=1e-8)."""
-    return optax.adam(learning_rate=schedule_fn, b1=0.9, b2=0.999, eps=1e-8)
+    """tf.train.AdamOptimizer parity (defaults b1=.9, b2=.999, eps=1e-8),
+    exact to the reference's eps placement (see tf_scale_by_adam)."""
+    return tf_adam(schedule_fn)
