@@ -26,37 +26,65 @@ __all__ = ["flow_to_img", "read_pfm", "write_pfm", "read_kitti_png",
            "write_kitti_png", "flow_panel", "flow_panels"]
 
 
-def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Vectorized HSV->RGB, all in [0, 1]."""
-    i = np.floor(h * 6.0).astype(int) % 6
-    f = h * 6.0 - np.floor(h * 6.0)
-    p = v * (1.0 - s)
-    q = v * (1.0 - f * s)
-    t = v * (1.0 - (1.0 - f) * s)
+def _hsv_to_rgb_cv2_u8(h: np.ndarray, s: np.ndarray,
+                       v: int = 255) -> np.ndarray:
+    """OpenCV-semantics uint8 HSV->RGB: h in [0, 180), s/v in [0, 255].
+
+    The standard sector formula with OpenCV's scaling (h*6/180) and
+    round-half-even output (cvRound) — an independent numpy port of the
+    cv2.cvtColor(..., COLOR_HSV2RGB) u8 path the reference renders
+    flow images through (optflow.py:225)."""
+    h6 = h.astype(np.float64) * (6.0 / 180.0)
+    i = np.floor(h6).astype(int) % 6
+    f = h6 - np.floor(h6)
+    s1 = s.astype(np.float64) / 255.0
+    vf = np.full(h.shape, float(v), np.float64)
+    p = vf * (1.0 - s1)
+    q = vf * (1.0 - s1 * f)
+    t = vf * (1.0 - s1 * (1.0 - f))
     rgb = np.zeros(h.shape + (3,), np.float64)
     conds = [
-        (i == 0, (v, t, p)), (i == 1, (q, v, p)), (i == 2, (p, v, t)),
-        (i == 3, (p, q, v)), (i == 4, (t, p, v)), (i == 5, (v, p, q)),
+        (i == 0, (vf, t, p)), (i == 1, (q, vf, p)), (i == 2, (p, vf, t)),
+        (i == 3, (p, q, vf)), (i == 4, (t, p, vf)), (i == 5, (vf, p, q)),
     ]
     for cond, (r, g, b) in conds:
         rgb[..., 0] = np.where(cond, r, rgb[..., 0])
         rgb[..., 1] = np.where(cond, g, rgb[..., 1])
         rgb[..., 2] = np.where(cond, b, rgb[..., 2])
-    return rgb
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def flow_to_img(flow: np.ndarray, normalize: bool = True,
                 flow_mag_max: float | None = None) -> np.ndarray:
-    """[H, W, 2] flow -> [H, W, 3] uint8 color-wheel image."""
-    u, v = flow[..., 0].astype(np.float64), flow[..., 1].astype(np.float64)
+    """[H, W, 2] flow -> [H, W, 3] uint8 color-wheel image.
+
+    Exact-semantics numpy port of the reference's cv2 pipeline
+    (optflow.py:190-233): hue = angle from the +x axis in [0, 2pi)
+    truncated to OpenCV's u8 hue range [0, 180); saturation = min-max
+    normalized magnitude (cv2.normalize NORM_MINMAX) or
+    mag*255/flow_mag_max; value = 255; OpenCV u8 HSV->RGB.
+    cv2.cartToPolar's fast atan (~0.3 deg accuracy) vs our exact arctan2
+    can move an occasional pixel by one hue count — pinned with that
+    tolerance against the reference's own output in
+    tests/test_optflow_oracle.py."""
+    u = flow[..., 0].astype(np.float64)
+    v = flow[..., 1].astype(np.float64)
     mag = np.sqrt(u * u + v * v)
-    ang = np.arctan2(v, u)  # [-pi, pi]
-    hue = (ang + np.pi) / (2.0 * np.pi)
-    if flow_mag_max is None:
-        flow_mag_max = max(np.max(mag), 1e-9)
-    sat = np.clip(mag / flow_mag_max, 0, 1) if normalize else np.clip(mag, 0, 1)
-    rgb = _hsv_to_rgb(hue, sat, np.ones_like(hue))
-    return (rgb * 255.0).astype(np.uint8)
+    ang = np.arctan2(v, u)
+    ang = np.where(ang < 0.0, ang + 2.0 * np.pi, ang)
+    hue = (ang * 180.0 / np.pi / 2.0).astype(np.uint8)
+    if normalize:
+        if flow_mag_max is None:
+            lo, hi = float(mag.min()), float(mag.max())
+            s_f = ((mag - lo) * (255.0 / (hi - lo)) if hi > lo
+                   else np.zeros_like(mag))
+        else:
+            s_f = mag * 255.0 / flow_mag_max
+    else:
+        s_f = mag
+    # the reference assigns the float into a u8 array: C-cast truncation
+    sat = s_f.astype(np.uint8)
+    return _hsv_to_rgb_cv2_u8(hue, sat)
 
 
 def _to_u8(img: np.ndarray) -> np.ndarray:

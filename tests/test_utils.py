@@ -12,11 +12,13 @@ def test_flow_to_img_properties():
     assert img0.shape == (8, 8, 3) and img0.dtype == np.uint8
     # zero flow -> zero saturation -> white
     assert np.all(img0 == 255)
-    # opposite directions -> different hues
+    # opposite directions -> different hues (fixed scale: under the
+    # default NORM_MINMAX a constant-magnitude field normalizes to
+    # saturation 0 = white, matching cv2 — see test_optflow_oracle)
     fl = np.zeros((2, 2, 2), np.float32)
     fl[0, :, 0] = 10.0
     fl[1, :, 0] = -10.0
-    img = flow_viz.flow_to_img(fl)
+    img = flow_viz.flow_to_img(fl, flow_mag_max=10.0)
     assert not np.array_equal(img[0, 0], img[1, 0])
 
 
