@@ -28,7 +28,10 @@ def stair_decay(init_lr: float, boundaries_steps: Sequence[int], factor: float):
     bounds = jnp.asarray(list(boundaries_steps))
 
     def schedule(step):
-        k = jnp.sum(step >= bounds)
+        # tf.train.piecewise_constant keeps the LEFT value AT a boundary
+        # step (switches at step > boundary) — pinned by
+        # tests/test_schedule_oracle.py against TF's own evaluation
+        k = jnp.sum(step > bounds)
         return init_lr * factor ** k.astype(jnp.float32)
 
     return schedule
@@ -60,7 +63,9 @@ def multisteps(lr_values: Sequence[float], boundaries: Sequence[int]):
     bounds = jnp.asarray(list(boundaries))
 
     def schedule(step):
-        k = jnp.sum(step >= bounds)
+        # boundary-inclusive-left, as tf.train.piecewise_constant (see
+        # stair_decay / tests/test_schedule_oracle.py)
+        k = jnp.sum(step > bounds)
         return vals[k]
 
     return schedule
