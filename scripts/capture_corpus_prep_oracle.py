@@ -194,6 +194,53 @@ def main():
         out[f"warp_ss{ss}"] = pred_warp
         print(f"# ss{ss} warps {pred_warp.shape} "
               f"range [{pred_warp.min():.1f}, {pred_warp.max():.1f}]")
+    # --- FISR_pwcnet_predict_from_img_test.py:117-146, line for line -----
+    # the THIRD prep script (test-phase flows from YUV PNGs): same per-pair
+    # chain but PIL-read frames and per-seq predict calls. The PNGs are
+    # written by OUR write_png from sample 0's frames, so the result must
+    # be BIT-IDENTICAL to the from_mat ss1 flows for sample 0 — pinning
+    # the PNG round-trip and the per-seq pred[num, 2seq:2seq+2] layout.
+    import glob as _glob
+
+    from PIL import Image
+
+    from fisr_tpu.data.png_io import write_png
+
+    tprep = importlib.import_module(
+        "FISR_tfoptflow.FISR_pwcnet_predict_from_img_test")
+    png_dir = os.path.join(tmp, "test_pngs")
+    os.makedirs(png_dir)
+    for t in range(N_SEQ):
+        write_png(seqs[0, t].astype(np.uint8),
+                  os.path.join(png_dir, f"fr_{t:03d}.png"))
+    data_list = _glob.glob(os.path.join(png_dir, "*.png"))
+    h, w, N_seq, ss = H, W, N_SEQ, 1
+    img_pairs = []
+    pred_t = np.zeros((len(data_list) // N_seq, 8 // ss, h, w, 2),
+                      dtype=np.float32)
+    for num in range(len(data_list) // N_seq):
+        for seq in range(N_seq - (ss * 2 - 1)):
+            rgb_1 = Image.open(data_list[num * N_seq + ss * seq])
+            rgb_1 = np.array(rgb_1, dtype=np.float32)
+            rgb_1 = tprep.YUV2RGB(rgb_1)
+            rgb_2 = Image.open(data_list[num * N_seq + ss * (seq + 1)])
+            rgb_2 = np.array(rgb_2, dtype=np.float32)
+            rgb_2 = tprep.YUV2RGB(rgb_2)
+            rgb_1 = tprep.resize(rgb_1, (h * SCALE, w * SCALE))
+            rgb_2 = tprep.resize(rgb_2, (h * SCALE, w * SCALE))
+            img_pairs.append((np.array(rgb_1, dtype=np.uint8),
+                              np.array(rgb_2, dtype=np.uint8)))
+            img_pairs.append((np.array(rgb_2, dtype=np.uint8),
+                              np.array(rgb_1, dtype=np.uint8)))
+            flow = tprep.np.array(mdl.predict_from_img_pairs(img_pairs,
+                                                             batch_size=1))
+            img_pairs = []
+            flow_rs = tprep.resize(flow, (flow.shape[0], h, w, 2),
+                                   anti_aliasing=True) / SCALE
+            pred_t[num, 2 * seq:2 * (seq + 1), :, :, :] = flow_rs
+    np.testing.assert_array_equal(pred_t[0], out["flow_ss1"][0])
+    print("# from_img_test (PNG chain) == from_mat ss1 flows bit-exact "
+          "(sample 0, our write_png -> PIL read)")
     mdl.sess.close()
 
     # --- amplified-flow warp chain ---------------------------------------
@@ -275,9 +322,14 @@ def main():
         "weights_digest": pwc_digest,
         "n": N, "n_seq": N_SEQ, "h": H, "w": W, "scale": SCALE,
         "measured": report,
+        "from_img_test": "verified at capture: the PNG-chain prep script "
+                         "(FISR_pwcnet_predict_from_img_test.py) on our "
+                         "write_png frames == from_mat ss1 flows "
+                         "bit-exact (sample 0)",
         "source": "FISR_tfoptflow/FISR_pwcnet_predict_from_mat.py + "
-                  "FISR_warp_mat_with_flo.py: helper functions + real "
-                  "predict_from_img_pairs verbatim, __main__ loops "
+                  "FISR_warp_mat_with_flo.py + "
+                  "FISR_pwcnet_predict_from_img_test.py: helper functions "
+                  "+ real predict_from_img_pairs verbatim, __main__ loops "
                   "replicated line-for-line (they are not functions); "
                   "shims per capture_pwc_oracle/capture_video_oracle",
     }
