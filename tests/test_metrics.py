@@ -78,6 +78,35 @@ def test_ssim_pil_like_crops_partial_tiles_and_truncates():
     assert ssim_pil_like(np.full((7, 7), 254 / 255), np.full((7, 7), 254.4 / 255)) == 1.0
 
 
+_TF_SSIM_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                                "tf_oracle", "ssim_tf.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(_TF_SSIM_FIXTURE),
+                    reason="ssim_tf.npz not captured "
+                           "(scripts/capture_ssim_oracle.py)")
+def test_ssim_matches_tf_image_ssim_fixture():
+    """Independent oracle for the Gaussian `ssim`: tf.image.ssim outputs
+    captured by scripts/capture_ssim_oracle.py (seeded pairs ride inside
+    the fixture: noise/perturbed/gradient/u8-quantized/batched/max_val=255
+    cases, C in {1,3}). Measured deviation at capture was 1.097e-05 (f32
+    accumulation); pinned ~10x above at 1e-4."""
+    import json
+
+    with open(os.path.join(os.path.dirname(_TF_SSIM_FIXTURE),
+                           "ssim_manifest.json")) as f:
+        man = json.load(f)
+    fx = np.load(_TF_SSIM_FIXTURE)
+    assert man["cases"], "empty manifest"
+    for case in man["cases"]:
+        name, max_val = case["name"], case["max_val"]
+        ours = np.asarray(
+            ssim(fx[f"{name}_a"], fx[f"{name}_b"], max_val=max_val),
+            np.float64)
+        np.testing.assert_allclose(ours, fx[f"{name}_ssim"], rtol=0,
+                                   atol=1e-4, err_msg=name)
+
+
 _SSIM_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                              "ssim_pil.npz")
 
