@@ -71,6 +71,16 @@ def flow_to_img(flow: np.ndarray, normalize: bool = True,
     v = flow[..., 1].astype(np.float64)
     mag = np.sqrt(u * u + v * v)
     ang = np.arctan2(v, u)
+    # the reference zeroes NaN magnitudes after cartToPolar
+    # (optflow.py:209-213: "A couple times, we've gotten NaNs out of the
+    # above"); at saturation 0 the pixel renders white whatever its hue,
+    # so the NaN angle is pinned to 0 too to keep the u8 cast defined
+    # (the reference casts the NaN hue — undefined — but sat 0 makes it
+    # invisible).
+    nans = np.isnan(mag)
+    if nans.any():
+        mag = np.where(nans, 0.0, mag)
+        ang = np.where(nans, 0.0, ang)
     ang = np.where(ang < 0.0, ang + 2.0 * np.pi, ang)
     hue = (ang * 180.0 / np.pi / 2.0).astype(np.uint8)
     if normalize:
@@ -82,8 +92,12 @@ def flow_to_img(flow: np.ndarray, normalize: bool = True,
             s_f = mag * 255.0 / flow_mag_max
     else:
         s_f = mag
-    # the reference assigns the float into a u8 array: C-cast truncation
-    sat = s_f.astype(np.uint8)
+    # the reference assigns the float into a u8 array: C-cast truncation.
+    # In [0, 255] that is exactly astype(u8); above it (mag > flow_mag_max,
+    # or normalize=False with mag > 255) the reference's out-of-range cast
+    # is platform-dependent wrap — we clip to full saturation instead
+    # (defined behavior; strongest flows stay strongest).
+    sat = np.minimum(s_f, 255.0).astype(np.uint8)
     return _hsv_to_rgb_cv2_u8(hue, sat)
 
 

@@ -22,6 +22,40 @@ def test_flow_to_img_properties():
     assert not np.array_equal(img[0, 0], img[1, 0])
 
 
+def test_flow_to_img_nan_guard():
+    """The reference zeroes NaN magnitudes (optflow.py:209-213): a NaN
+    pixel renders white; the REST of the image is unaffected (no NaN
+    poisoning of the min-max normalization)."""
+    fl = np.zeros((4, 4, 2), np.float32)
+    fl[..., 0] = np.linspace(1, 8, 16).reshape(4, 4)
+    clean = flow_viz.flow_to_img(fl)
+    fl_nan = fl.copy()
+    fl_nan[2, 2] = np.nan
+    img = flow_viz.flow_to_img(fl_nan)
+    assert np.all(img[2, 2] == 255)  # sat 0 -> white
+    # NaN sample relocates the min-max range's min to 0; every other
+    # pixel must still be a finite, defined rendering
+    assert img.dtype == np.uint8 and np.isfinite(img).all()
+    with_max = flow_viz.flow_to_img(fl_nan, flow_mag_max=8.0)
+    keep = np.ones((4, 4), bool)
+    keep[2, 2] = False
+    np.testing.assert_array_equal(
+        with_max[keep], flow_viz.flow_to_img(fl, flow_mag_max=8.0)[keep])
+
+
+def test_flow_to_img_overflow_saturates():
+    """Magnitudes above flow_mag_max clip to FULL saturation (defined
+    behavior) instead of the reference's platform-dependent u8 wrap:
+    a 2x-over-max flow renders identically to an exactly-max flow."""
+    fl_over = np.zeros((1, 1, 2), np.float32)
+    fl_over[..., 0] = 20.0
+    fl_max = np.zeros((1, 1, 2), np.float32)
+    fl_max[..., 0] = 10.0
+    np.testing.assert_array_equal(
+        flow_viz.flow_to_img(fl_over, flow_mag_max=10.0),
+        flow_viz.flow_to_img(fl_max, flow_mag_max=10.0))
+
+
 def test_pfm_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     data = rng.normal(size=(6, 9, 3)).astype(np.float32)
