@@ -109,7 +109,9 @@ def _parse_shape(buf: bytes) -> Tuple[int, ...]:
     dims: List[int] = []
     for field, _w, val in _proto_fields(buf):
         if field == 2:
-            size = 1
+            # proto3 implicit default: an omitted Dim.size means 0 (TF
+            # serializes a zero-size dim as an EMPTY Dim message)
+            size = 0
             for f2, _w2, v2 in _proto_fields(val):
                 if f2 == 1:
                     size = v2

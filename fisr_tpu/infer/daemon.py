@@ -388,8 +388,11 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8417,
             if auth_token is None:
                 return True
             got = self.headers.get("Authorization", "")
+            # compare bytes: compare_digest raises TypeError on non-ASCII
+            # str input, which an unauthenticated client controls
             return (got.startswith("Bearer ")
-                    and hmac.compare_digest(got[7:], auth_token))
+                    and hmac.compare_digest(got[7:].encode("utf-8", "replace"),
+                                            auth_token.encode()))
 
         def _deny(self) -> bool:
             """401 unless authorized; returns True when the request ends."""
@@ -402,6 +405,9 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8417,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            # a denied POST's body was never read off the socket; keeping
+            # the keep-alive connection would parse it as the next request
+            self.close_connection = True
             return True
 
         def _json(self, code: int, obj: dict):

@@ -99,6 +99,18 @@ class TiledRunner:
     def __call__(self, inp: np.ndarray) -> np.ndarray:
         """inp: [B, h, w, 29] host array (h, w multiples of 32*grid).
         Returns [B, h*sf, w*sf, 9] host array."""
+        b, h, w, _c = inp.shape
+        gh, gw = self.grid
+        s_h, s_w = h // gh, w // gw
+        # interior patches whose low halo clips at the frame edge would
+        # break the equal-crop-shape grouping below; the reference never
+        # hits this (boundary=32 with s >= 32 guaranteed by its crop,
+        # FISRnet.py:818-825) — fail clearly instead of on a concat
+        if (gh > 1 and s_h < self.boundary) or (gw > 1 and s_w < self.boundary):
+            raise ValueError(
+                f"patch side ({s_h}x{s_w} from grid {self.grid} on "
+                f"{h}x{w}) must be >= boundary ({self.boundary}); use a "
+                f"coarser grid or a smaller boundary")
         if self.mode == "padded":
             return self._run_padded(inp)
         return self._run_exact(inp)

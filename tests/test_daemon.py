@@ -229,6 +229,47 @@ def test_auth_required(auth_url):
     assert code == 401 and b"unauthorized" in body
 
 
+def test_denied_post_closes_connection(auth_url):
+    """A 401'd POST never drains its body; keeping the keep-alive socket
+    open would parse the stale body bytes as the next request line."""
+    import socket
+    host, port = auth_url[len("http://"):].split(":")
+    body = b"\x89PNGgarbagebody" * 10
+    req = (f"POST /v1/window HTTP/1.1\r\nHost: {host}\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    with socket.create_connection((host, int(port)), timeout=5) as s:
+        s.sendall(req)
+        s.settimeout(5)
+        data = b""
+        while b"unauthorized" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert data.startswith(b"HTTP/1.1 401")
+        # server must close: EOF, not a garbage parse of the body bytes
+        while True:
+            tail = s.recv(4096)
+            if not tail:
+                break
+            data += tail
+        assert b"400" not in data.split(b"unauthorized")[-1]
+
+
+def test_non_ascii_auth_header_is_401(auth_url):
+    """compare_digest raises TypeError on non-ASCII str; attacker-supplied
+    headers must get a clean 401, not a dropped connection."""
+    import socket
+    host, port = auth_url[len("http://"):].split(":")
+    req = (b"GET /v1/info HTTP/1.1\r\nHost: x\r\n"
+           b"Authorization: Bearer s\xe9cret\r\n\r\n")
+    with socket.create_connection((host, int(port)), timeout=5) as s:
+        s.sendall(req)
+        s.settimeout(5)
+        data = s.recv(4096)
+        assert data.startswith(b"HTTP/1.1 401"), data[:100]
+
+
 def test_oversized_request_is_413(auth_url):
     payload = pack_frames(_frames(3))  # PNG of 64x64 noise ≫ 4096 bytes
     assert len(payload) > 4096

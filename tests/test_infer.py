@@ -60,6 +60,19 @@ def test_tiled_exact_matches_reference_loop(params):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=6e-3)
 
 
+def test_tiled_rejects_boundary_larger_than_patch(params):
+    """An interior patch whose low halo clips at the frame edge would
+    break the equal-crop grouping (concat shape mismatch) — the guard
+    must fail clearly up front."""
+    inp = np.zeros((1, 128, 128, 29), np.float32)
+    runner = TiledRunner(params, grid=(4, 4), boundary=64)
+    with pytest.raises(ValueError, match="boundary"):
+        runner(inp)
+    # grid (1,1): no interior patches, any boundary is safe (clips at edges)
+    TiledRunner(params, grid=(1, 1), boundary=64)(
+        np.zeros((1, 32, 32, 29), np.float32))
+
+
 def test_tiled_single_patch_equals_direct_apply(params):
     rng = np.random.default_rng(1)
     inp = rng.uniform(size=(1, 32, 32, 29)).astype(np.float32)

@@ -24,6 +24,8 @@ def test_roundtrip_mixed_dtypes(tmp_path):
         "flags": np.array([True, False, True]),
         "scalar": np.float64(3.25).reshape(()),
         "half": rng.normal(size=(4, 4)).astype(np.float16),
+        "empty": np.zeros((0,), np.float32),
+        "empty2d": np.zeros((0, 3), np.float32),
     }
     prefix = str(tmp_path / "model.ckpt-100")
     tb.write_bundle(prefix, tensors)
@@ -32,6 +34,15 @@ def test_roundtrip_mixed_dtypes(tmp_path):
     for k in tensors:
         assert out[k].dtype == tensors[k].dtype, k
         np.testing.assert_array_equal(out[k], tensors[k])
+
+
+def test_parse_shape_proto3_empty_dim_is_zero():
+    """TF (proto3) serializes a zero-size dim as an EMPTY Dim message —
+    the omitted size field must default to 0, not 1."""
+    # TensorShapeProto{dim: [Dim{}, Dim{size: 3}]}
+    buf = bytes([0x12, 0x00,          # field 2 (Dim), empty payload
+                 0x12, 0x02, 0x08, 0x03])  # field 2, Dim{1: 3}
+    assert tb._parse_shape(buf) == (0, 3)
 
 
 def test_roundtrip_many_variables_multiblock(tmp_path):
