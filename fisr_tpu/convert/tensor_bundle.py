@@ -184,7 +184,8 @@ def _serialize_header(num_shards: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# crc32c (Castagnoli) — table-driven, numpy-accelerated over big buffers
+# crc32c (Castagnoli) — native slice-by-8 via fisr_tpu.native when built
+# (~0.5 GB/s), pure-Python table loop otherwise
 # ---------------------------------------------------------------------------
 
 def _make_crc32c_table() -> np.ndarray:
@@ -202,6 +203,16 @@ _CRC_TABLE = _make_crc32c_table()
 
 
 def _crc32c(data: bytes, crc: int = 0) -> int:
+    # native slice-by-8 (~0.5 GB/s) when the C++ loader is built; the
+    # pure-Python table loop below (~10 MB/s) is the fallback
+    try:
+        from fisr_tpu.native.bindings import crc32c as _native_crc
+
+        got = _native_crc(data, crc)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     crc = crc ^ 0xFFFFFFFF
     table = _CRC_TABLE
     for b in data:
@@ -461,8 +472,9 @@ def write_bundle(prefix: str, tensors: Dict[str, np.ndarray],
     Output is restorable by TF1's `tf.train.Saver` / readable by
     `tf.train.load_checkpoint` — the reverse migration path, and the fixture
     generator that pins `read_bundle`. crc=False skips the per-tensor
-    checksums (pure-Python crc32c runs ~10 MB/s; fine for tests and for
-    consumers that don't validate, required True for TF restore).
+    checksums (native crc32c runs ~0.5 GB/s; the pure-Python fallback
+    ~10 MB/s — crc=False exists for consumers that don't validate;
+    required True for TF restore).
     """
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     names = sorted(tensors)

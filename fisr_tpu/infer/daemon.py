@@ -156,6 +156,10 @@ class FISRService:
         self.max_streams = max_streams
         self._lock = threading.Lock()       # device calls + stream state
         self.stats = {"windows": 0, "stream_frames": 0, "pair_programs": 0}
+        # device-side u8 quantizer (see _window_out_to_u8)
+        self._quant = jax.jit(lambda p: jnp.clip(
+            jnp.rint(p.astype(jnp.float32) * 255.0), 0.0, 255.0
+        ).astype(jnp.uint8))
         if warmup:
             z = jnp.zeros((1, 3, height, width, 3), jnp.float32)
             if device is not None:
@@ -171,7 +175,8 @@ class FISRService:
             assert_fits_hbm(
                 self._window_step,
                 what=f"fused {height}x{width} serving window program")
-            np.asarray(self._window_step(fisr_params, pwc_params, z))
+            pred = self._window_step(fisr_params, pwc_params, z)
+            self._window_out_to_u8(pred)   # warms the quantizer too
             zf = z[:, 0]
             pair = self._pair_fn(pwc_params, zf, zf)
             np.asarray(self._win_fn(fisr_params, z, pair, pair))
@@ -186,14 +191,19 @@ class FISRService:
             raise ValueError(
                 f"frame is {frame_u8.shape[0]}x{frame_u8.shape[1]}, server "
                 f"compiled for {self.h}x{self.w}")
-        x = jnp.asarray(frame_u8, jnp.float32)[None]  # [1,h,w,3], [0,255]
-        return x if self.device is None else jax.device_put(x, self.device)
+        # ship u8 over the host link (4x fewer bytes through the ~40 MB/s
+        # relay than a host-side float32 cast would move), cast on device
+        x = jnp.asarray(np.ascontiguousarray(frame_u8))[None]  # [1,h,w,3] u8
+        if self.device is not None:
+            x = jax.device_put(x, self.device)
+        return x.astype(jnp.float32)  # on-device convert, [0,255]
 
-    @staticmethod
-    def _window_out_to_u8(pred) -> List[np.ndarray]:
-        """[1, H, W, 9] in [0,1] -> 3 u8 frames [interp1, SR, interp2]."""
-        arr = np.asarray(pred[0], np.float32)
-        out = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+    def _window_out_to_u8(self, pred) -> List[np.ndarray]:
+        """[1, H, W, 9] in [0,1] -> 3 u8 frames [interp1, SR, interp2].
+
+        Quantizes ON DEVICE and pulls u8: the float32 output of a 2K
+        window is ~4x the bytes of its u8 form through the relay."""
+        out = np.asarray(self._quant(pred))[0]
         return [out[..., 0:3], out[..., 3:6], out[..., 6:9]]
 
     # ---- endpoints ----
@@ -224,7 +234,7 @@ class FISRService:
         with self._lock:
             stack = jnp.stack([self._to_device(f)[0] for f in frames])[None]
             pred = self._window_step(self.fisr_params, self.pwc_params, stack)
-            out = self._window_out_to_u8(np.asarray(pred))
+            out = self._window_out_to_u8(pred)
             self.stats["windows"] += 1
         return out
 
@@ -258,7 +268,7 @@ class FISRService:
             if st.pair is not None:
                 stack = jnp.stack([st.prev2[0], st.prev1[0], dev[0]])[None]
                 pred = self._win_fn(self.fisr_params, stack, st.pair, pair_new)
-                out = self._window_out_to_u8(np.asarray(pred))
+                out = self._window_out_to_u8(pred)
                 self.stats["windows"] += 1
             st.prev2, st.prev1, st.pair = st.prev1, dev, pair_new
         return out
@@ -300,8 +310,16 @@ class MultiChipService:
         if not devices:
             raise ValueError("no devices to serve on")
         self.devices = devices
-        self.services = [FISRService(fisr_params, pwc_params, height, width,
-                                     device=d, **kw) for d in devices]
+        # per-chip services compile CONCURRENTLY: each __init__ runs its
+        # own AOT compile + warmup (10-70 s first compile); serial startup
+        # would multiply that by the chip count. jax compilation is
+        # thread-safe; per-service jit objects don't share caches anyway.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(devices)) as pool:
+            self.services = list(pool.map(
+                lambda d: FISRService(fisr_params, pwc_params, height, width,
+                                      device=d, **kw), devices))
         self._rr = itertools.count()    # itertools.count is GIL-atomic
 
     def _for_stream(self, stream_id: str) -> FISRService:

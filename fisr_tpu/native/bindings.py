@@ -49,6 +49,10 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p]
     lib.fisr_extract_patches_f32.restype = None
+    # c_char_p: pass bytes zero-copy (length is explicit, NULs are fine)
+    lib.fisr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_uint32]
+    lib.fisr_crc32c.restype = ctypes.c_uint32
     _lib = lib
     return _lib
 
@@ -178,3 +182,15 @@ def extract_patches(src: np.ndarray, rects: Sequence[tuple], ph: int, pw: int) -
     lib.fisr_extract_patches_f32(_f32p(src), h, w, c, _i64p(y0s), _i64p(x0s),
                                  len(rects), ph, pw, _f32p(out))
     return out
+
+
+def crc32c(data: bytes, crc: int = 0):
+    """Slice-by-8 CRC32C (Castagnoli) over `data`, seeded with `crc`.
+
+    Returns None when the native library is unavailable — callers keep
+    their pure-Python table loop as the fallback (convert/tensor_bundle.py,
+    utils/tb_writer.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.fisr_crc32c(data, len(data), ctypes.c_uint32(crc)))

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -53,9 +54,50 @@ void parallel_for(int64_t n, F fn, int max_threads = 0) {
   for (auto& th : pool) th.join();
 }
 
+uint32_t crc32c_tbl[8][256];
+std::once_flag crc32c_once;
+
+void init_crc32c() {
+  for (int i = 0; i < 256; i++) {
+    uint32_t c = static_cast<uint32_t>(i);
+    for (int k = 0; k < 8; k++) c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : c >> 1;
+    crc32c_tbl[0][i] = c;
+  }
+  for (int t = 1; t < 8; t++)
+    for (int i = 0; i < 256; i++)
+      crc32c_tbl[t][i] = (crc32c_tbl[t - 1][i] >> 8)
+                         ^ crc32c_tbl[0][crc32c_tbl[t - 1][i] & 0xFF];
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC32C (Castagnoli 0x82F63B78) — slice-by-8, ~0.5 GB/s single-threaded.
+// Backs the TensorBundle checkpoint checksums and the TFRecord/TensorBoard
+// masked crcs (convert/tensor_bundle.py, utils/tb_writer.py); the pure-
+// Python table loop they fall back to runs ~10 MB/s. Little-endian reads
+// (the byte-at-a-time tail is endian-neutral; this image is x86-64).
+// ---------------------------------------------------------------------------
+
+uint32_t fisr_crc32c(const uint8_t* p, int64_t n, uint32_t crc) {
+  std::call_once(crc32c_once, init_crc32c);
+  crc ^= 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    v ^= crc;  // zero-extended: xors the low 4 bytes
+    crc = crc32c_tbl[7][v & 0xFF] ^ crc32c_tbl[6][(v >> 8) & 0xFF]
+          ^ crc32c_tbl[5][(v >> 16) & 0xFF] ^ crc32c_tbl[4][(v >> 24) & 0xFF]
+          ^ crc32c_tbl[3][(v >> 32) & 0xFF] ^ crc32c_tbl[2][(v >> 40) & 0xFF]
+          ^ crc32c_tbl[1][(v >> 48) & 0xFF] ^ crc32c_tbl[0][(v >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ crc32c_tbl[0][(crc ^ *p++) & 0xFF];
+  return crc ^ 0xFFFFFFFFu;
+}
 
 // ---------------------------------------------------------------------------
 // PNG decode

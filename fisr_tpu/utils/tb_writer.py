@@ -42,6 +42,15 @@ def _crc_table():
 
 
 def crc32c(data: bytes) -> int:
+    # native slice-by-8 when the C++ loader is built, else the table loop
+    try:
+        from fisr_tpu.native.bindings import crc32c as _native_crc
+
+        got = _native_crc(data)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     table = _crc_table()
     crc = 0xFFFFFFFF
     for b in data:

@@ -66,3 +66,28 @@ def test_extract_patches():
     got = native.extract_patches(src, rects, 16, 32)
     for i, (y, x) in enumerate(rects):
         np.testing.assert_array_equal(got[i], src[y : y + 16, x : x + 32])
+
+
+def test_crc32c_native_matches_python_and_known_answer():
+    """Native slice-by-8 vs the pure-Python table loop (tb_writer's
+    fallback), across lengths, seeds, and the RFC 3720 known answer."""
+    from fisr_tpu.native import bindings
+    from fisr_tpu.utils import tb_writer
+
+    def py_crc(data, crc=0):
+        t = tb_writer._crc_table()
+        crc ^= 0xFFFFFFFF
+        for b in data:
+            crc = t[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+    got = bindings.crc32c(b"123456789")
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert got == 0xE3069283  # RFC 3720 CRC32C check value
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 7, 8, 9, 63, 64, 1000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        for seed in (0, 0xDEADBEEF):
+            assert bindings.crc32c(data, seed) == py_crc(data, seed), (n, seed)
