@@ -63,6 +63,18 @@ class CheckpointManager:
         path = self._step_dir(step)
         if os.path.exists(path):
             shutil.rmtree(path)
+        # Save NUMPY leaves: a tree saved as device jax.Arrays embeds the
+        # saving process's sharding (e.g. the axon TPU device), and orbax
+        # then refuses to restore it on any other backend ("Sharding of
+        # jax.Array cannot be None"). device_get costs nothing extra — the
+        # bytes cross the host link for serialization either way — and
+        # makes every checkpoint restorable anywhere (CPU tests, other
+        # chips, fresh clones without the gitignored _sharding files).
+        import jax
+        import numpy as np
+
+        tree = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
         self._ckptr.save(path, tree)
         ledger = self._read_ledger()
         ledger["entries"] = [e for e in ledger["entries"] if e["step"] != step]
@@ -104,6 +116,20 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self._step_dir(step)
         if item is not None:
-            return self._ckptr.restore(self._step_dir(step), item=item)
-        return self._ckptr.restore(self._step_dir(step))
+            return self._ckptr.restore(path, item=item)
+        try:
+            return self._ckptr.restore(path)
+        except ValueError:
+            # Tree was saved as device jax.Arrays on another backend (save()
+            # now numpy-converts, but older trees exist): orbax refuses a
+            # shardingless restore of jax.Array leaves. Force numpy leaves
+            # via metadata-shaped RestoreArgs — portable on any backend.
+            import jax
+            import numpy as np
+
+            meta = self._ckptr.metadata(path).item_metadata
+            args = jax.tree_util.tree_map(
+                lambda _m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            return self._ckptr.restore(path, restore_args=args)
