@@ -50,9 +50,27 @@ def main():
 
     print(f" [*] uploading corpus to HBM: {args.n} samples ...", flush=True)
     t0 = time.time()
-    dev = {k: jnp.asarray(getattr(store, k), jnp.float32)
+
+    def upload(a, budget_mb=256):
+        """Chunked host->device transfer: multi-GB single jnp.asarray
+        calls WEDGE the axon relay (observed 2026-08-20: the 3.1 GB label
+        array hung with zero bytes flowing, three runs in a row, while
+        <=256 MB slices move at ~85 MB/s). Fence each slice."""
+        a = np.ascontiguousarray(a, np.float32)
+        rows = max(1, int(budget_mb * 1e6 // max(1, a[0].nbytes)))
+        if rows >= len(a):
+            d = jnp.asarray(a)
+            float(jnp.mean(d[(0,) * a.ndim]))
+            return d
+        parts = []
+        for i in range(0, len(a), rows):
+            d = jnp.asarray(a[i:i + rows])
+            float(jnp.mean(d[(0,) * a.ndim]))
+            parts.append(d)
+        return jnp.concatenate(parts, 0)
+
+    dev = {k: upload(getattr(store, k))
            for k in ("data", "label", "flow", "flow_ss2", "warp", "warp_ss2")}
-    float(jnp.mean(dev["label"][0, :2, :2, 0]))  # fence the uploads
     print(f" [*] uploaded in {time.time()-t0:.1f} s", flush=True)
 
     def gather(idx, val=False):
